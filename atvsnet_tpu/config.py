@@ -1,0 +1,86 @@
+"""Typed configuration for the whole pipeline.
+
+Replaces the reference's `tf.app.flags` global singleton (flags defined per-driver and
+consumed deep inside library code, e.g. FLAGS.inverse_depth read inside every geometry
+op at reference atvsnet/homography_warping.py:149,215,301; FLAGS.batch_size inside
+prob2depth at atvsnet/model.py:96). Here one frozen dataclass is threaded explicitly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Static configuration — every field participates in jit cache keys.
+
+    Defaults mirror the reference drivers (example.py:25-48, eval_pointcloud.py:38-58).
+    """
+
+    # Number of input images: 1 reference + (view_num - 1) neighbor views.
+    view_num: int = 5
+    # Depth hypothesis planes in the sweep.
+    max_d: int = 128
+    # Maximum input image size; inputs are center-cropped/scaled to multiples of 32
+    # (reference preprocess.py:63-92) so that the 1/4-res cost volume is 8-divisible
+    # for the 3-level 3D U-Net.
+    max_h: int = 480
+    max_w: int = 896
+    # Cost volume is built at this scale of the input image (FEM downsamples 4x).
+    sample_scale: float = 0.25
+    # Sweep in inverse depth (disparity); the reference checkpoint and all drivers
+    # assume True (example.py:47).
+    inverse_depth: bool = True
+    batch_size: int = 1
+
+    # --- numerics ---
+    # dtype for conv/matmul compute (bfloat16 rides the MXU at 2x); geometry ops,
+    # softmax-argmin and normalization statistics always run in float32.
+    compute_dtype: str = "float32"
+    # batch-norm epsilon (tf.layers.batch_normalization default, reference
+    # cnn_wrapper/network.py:206).
+    bn_eps: float = 1e-3
+
+    # --- fusion (depth_fusion.py defaults, reference atvsnet/depth_fusion.py:230-235
+    # and hardcoded values at :210-212) ---
+    prob_threshold: float = 0.8
+    disp_threshold: float = 0.01
+    num_consistent: int = 2
+    fusion_depth_min: float = 0.01
+    fusion_depth_max: float = 100000.0
+    fusion_normal_threshold_deg: float = 360.0
+
+    # --- network widths (reference cnn_wrapper/atvsnet.py) ---
+    fem_base_filter: int = 32     # ResNetDS2SPP base (atvsnet.py:256)
+    crm_base_filter: int = 8      # StackedUNet base (atvsnet.py:7)
+    shallow_base_filter: int = 16  # ResNetDS2SPP_shallow_f16 (atvsnet.py:247)
+    refine_base_filter: int = 8   # CostVolRefineNet base (atvsnet.py:297)
+
+    @property
+    def dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.compute_dtype)
+
+    @property
+    def num_pairs(self) -> int:
+        return self.view_num - 1
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training extension (the reference ships inference only — SURVEY.md §0)."""
+
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    # Relative weights of the supervision terms on the initial (per-pair), aggregated
+    # and refined depth maps.
+    loss_weight_initial: float = 0.5
+    loss_weight_agg: float = 1.0
+    loss_weight_refined: float = 1.0
+    grad_clip_norm: Optional[float] = 1.0

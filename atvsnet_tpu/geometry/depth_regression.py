@@ -1,0 +1,140 @@
+"""Soft-argmin depth regression, confidence maps and align-corners upsampling.
+
+Reference: atvsnet/model.py:13-129. The reference's per-batch python loop building
+tf.linspace rows (model.py:96-98) is a broadcast here; its align_corners=True bilinear
+resize (model.py:72-74) is implemented as two separable interpolation matmuls so it
+rides the MXU instead of a gather.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=64)
+def _align_corners_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """(out, in) bilinear interpolation matrix with align_corners=True semantics."""
+    A = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        A[:, 0] = 1.0
+        return A
+    if out_size == 1:
+        # tf.image.resize(align_corners=True) samples the corner (index 0).
+        A[0, 0] = 1.0
+        return A
+    scale = (in_size - 1) / (out_size - 1)
+    for i in range(out_size):
+        src = i * scale
+        i0 = int(np.floor(src))
+        i0 = min(i0, in_size - 2)
+        w = src - i0
+        A[i, i0] += 1.0 - w
+        A[i, i0 + 1] += w
+    return A
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Resize (B, H, W, C) -> (B, out_h, out_w, C), align_corners=True bilinear.
+
+    Exact equivalent of tf.image.resize_images(..., BILINEAR, align_corners=True)
+    (reference model.py:72-74, cnn_wrapper/network.py:650-655), expressed as two
+    matmuls (MXU-friendly; the interpolation matrices are trace-time constants).
+    """
+    B, H, W, C = x.shape
+    if (out_h, out_w) == (H, W):
+        return x
+    Ah = jnp.asarray(_align_corners_matrix(out_h, H), dtype=jnp.float32)
+    Aw = jnp.asarray(_align_corners_matrix(out_w, W), dtype=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("ph,bhwc->bpwc", Ah, x.astype(jnp.float32), precision=hi)
+    y = jnp.einsum("qw,bpwc->bpqc", Aw, y, precision=hi)
+    return y.astype(x.dtype)
+
+
+def upsample_prob_vol(prob_vol: jnp.ndarray, up_scale: int = 4) -> jnp.ndarray:
+    """(B, D, h, w) -> (B, D, h*s, w*s); depth planes ride the channel axis.
+
+    Reference: atvsnet/model.py:68-76.
+    """
+    B, D, h, w = prob_vol.shape
+    x = jnp.transpose(prob_vol, (0, 2, 3, 1))              # (B, h, w, D)
+    x = resize_bilinear_align_corners(x, h * up_scale, w * up_scale)
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def probability_map(
+    probability_volume: jnp.ndarray,
+    depth_map: jnp.ndarray,
+    depth_start: jnp.ndarray,
+    depth_interval: jnp.ndarray,
+) -> jnp.ndarray:
+    """Confidence: sum of softmax probability at the 4 depth bins nearest the estimate.
+
+    probability_volume: (B, D, h, w) softmax probabilities; depth_map: (B, h, w, 1).
+    Reference: atvsnet/model.py:13-65 (floor/floor-1/ceil/ceil+1 bins, each clipped to
+    [0, D-1] — an integer-valued estimate double-counts its own bin, reproduced here).
+    """
+    B, D, h, w = probability_volume.shape
+    d_idx = (depth_map[..., 0] - depth_start[:, None, None]) / depth_interval[:, None, None]
+    left0 = jnp.clip(jnp.floor(d_idx).astype(jnp.int32), 0, D - 1)
+    left1 = jnp.clip(left0 - 1, 0, D - 1)
+    right0 = jnp.clip(jnp.ceil(d_idx).astype(jnp.int32), 0, D - 1)
+    right1 = jnp.clip(right0 + 1, 0, D - 1)
+
+    pv = jnp.transpose(probability_volume, (0, 2, 3, 1))   # (B, h, w, D)
+
+    def _at(idx):
+        return jnp.take_along_axis(pv, idx[..., None], axis=-1)[..., 0]
+
+    prob = _at(left0) + _at(left1) + _at(right0) + _at(right1)
+    return prob[..., None]
+
+
+def prob2depth(
+    prob_volume: jnp.ndarray,
+    depth_num: int,
+    depth_start: jnp.ndarray,
+    depth_interval: jnp.ndarray,
+    out_prob_map: bool = False,
+):
+    """Soft-argmin: softmax(-cost) over depth, expectation over the sweep values.
+
+    prob_volume: (B, D, h, w) raw cost ("prob volume" in reference naming);
+    depth_start/interval: (B,). Returns depth (B, h, w, 1) [+ confidence (B, h, w, 1)].
+    Reference: atvsnet/model.py:80-109.
+    """
+    pv = prob_volume.astype(jnp.float32)
+    probability = jax.nn.softmax(-pv, axis=1)              # (B, D, h, w)
+    steps = jnp.arange(depth_num, dtype=jnp.float32)
+    sweep = depth_start[:, None] + steps[None, :] * depth_interval[:, None]  # (B, D)
+    depth = jnp.sum(sweep[:, :, None, None] * probability, axis=1)[..., None]
+    if out_prob_map:
+        conf = probability_map(probability, depth, depth_start, depth_interval)
+        return depth, conf
+    return depth
+
+
+def prob2depth_upsample(
+    prob_volume: jnp.ndarray,
+    depth_num: int,
+    depth_start: jnp.ndarray,
+    depth_interval: jnp.ndarray,
+    out_prob_map: bool = False,
+    up_scale: int = 4,
+):
+    """Soft-argmin at native and up_scale-upsampled resolution.
+
+    Reference: atvsnet/model.py:113-129. Returns (depth, depth_up[, prob, prob_up]).
+    """
+    prob_volume_up = upsample_prob_vol(prob_volume, up_scale)
+    if out_prob_map:
+        depth, prob = prob2depth(prob_volume, depth_num, depth_start, depth_interval, True)
+        depth_up, prob_up = prob2depth(prob_volume_up, depth_num, depth_start, depth_interval, True)
+        return depth, depth_up, prob, prob_up
+    depth = prob2depth(prob_volume, depth_num, depth_start, depth_interval)
+    depth_up = prob2depth(prob_volume_up, depth_num, depth_start, depth_interval)
+    return depth, depth_up

@@ -1,0 +1,217 @@
+"""Functional NN primitives with the reference's exact TF-1.5 semantics.
+
+Parameters are plain nested dicts of jnp arrays keyed by the reference's variable-scope
+names (cnn_wrapper/network.py), so a TF-checkpoint -> pytree import is a direct rename.
+
+Semantics preserved from the reference:
+  * conv / conv3d: SAME padding, no bias unless `b` given (network.py:141-169).
+  * conv_bn (network.py:172-215): conv -> batch_normalization(center=False, scale=False,
+    training=True) -> relu. The reference builds every graph with is_training=True
+    (e.g. model.py:349), so BN ALWAYS normalizes by batch statistics and carries no
+    usable parameters — it is a parameter-free normalization over (batch, spatial).
+  * deconv_bn (network.py:510-550): conv{2,3}d_transpose, SAME, stride 2 -> same BN.
+    Implemented as the exact vector-Jacobian product of the strided SAME conv, which is
+    the definition of tf.nn.conv*d_transpose (zero extra runtime cost after XLA).
+  * bottleneck (network.py:552-602): slim pre-activation residual unit; slim defaults
+    mean preact BN has a beta (center=True, scale=False), the three convs carry biases
+    and conv1/conv2 have ReLU; stride>1 uses explicit "fixed" padding + VALID
+    (network.py:589-595), which differs from SAME on even sizes.
+
+Layout: channel-last (NHWC / NDHWC) — TPU native. Weights stored fp32 in TF layout
+(spatial..., in, out); compute dtype follows the activation dtype with float32 inputs
+pinned to full-precision MXU passes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_DIM_NUMBERS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
+
+
+def _precision_for(x: jnp.ndarray):
+    # fp32 activations -> true fp32 matmul passes; bf16 rides the fast MXU path.
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
+def conv(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    rate: int = 1,
+    relu: bool = False,
+    padding="SAME",
+) -> jnp.ndarray:
+    """Rank-dispatching SAME conv (2D on NHWC / 3D on NDHWC), TF-layout kernel."""
+    nd = x.ndim - 2
+    y = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,) * nd,
+        padding=padding,
+        rhs_dilation=(rate,) * nd,
+        dimension_numbers=_DIM_NUMBERS[nd],
+        precision=_precision_for(x),
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def fixed_pad_conv(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 2,
+    rate: int = 1,
+    relu: bool = False,
+) -> jnp.ndarray:
+    """Explicit-padding strided conv (resnet 'fixed padding', network.py:589-595)."""
+    nd = x.ndim - 2
+    k = w.shape[0]
+    k_eff = k + (k - 1) * (rate - 1)
+    pad_total = k_eff - 1
+    pad_beg = pad_total // 2
+    pad_end = pad_total - pad_beg
+    y = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride,) * nd,
+        padding=[(pad_beg, pad_end)] * nd,
+        rhs_dilation=(rate,) * nd,
+        dimension_numbers=_DIM_NUMBERS[nd],
+        precision=_precision_for(x),
+    )
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def batch_stat_norm(
+    x: jnp.ndarray,
+    eps: float = 1e-3,
+    beta: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Normalize by batch statistics over all non-channel axes (training-mode BN).
+
+    tf.layers.batch_normalization(training=True) with center=scale=False computes
+    biased moments over (batch, spatial) per channel; eps defaults to 1e-3.
+    Statistics always accumulate in fp32.
+    """
+    axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=axes, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    if beta is not None:
+        y = y + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def conv_bn(
+    params: dict,
+    x: jnp.ndarray,
+    stride: int = 1,
+    rate: int = 1,
+    relu: bool = True,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    y = conv(x, params["w"], stride=stride, rate=rate)
+    y = batch_stat_norm(y, eps=eps)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def deconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2, relu: bool = False) -> jnp.ndarray:
+    """TF conv{2,3}d_transpose, SAME padding: exact VJP of the strided SAME conv.
+
+    `w` uses the TF transpose-kernel layout (spatial..., out_ch, in_ch); as the forward
+    kernel of the conv being transposed this is plain (spatial..., I=out_ch, O=in_ch).
+    """
+    nd = x.ndim - 2
+    out_ch = w.shape[-2]
+    out_shape = (x.shape[0], *(s * stride for s in x.shape[1:-1]), out_ch)
+
+    def fwd(y):
+        return lax.conv_general_dilated(
+            y,
+            w.astype(x.dtype),
+            window_strides=(stride,) * nd,
+            padding="SAME",
+            dimension_numbers=_DIM_NUMBERS[nd],
+            precision=_precision_for(x),
+        )
+
+    y = jax.vjp(fwd, jnp.zeros(out_shape, x.dtype))[1](x)[0]
+    return jnp.maximum(y, 0) if relu else y
+
+
+def deconv_bn(
+    params: dict,
+    x: jnp.ndarray,
+    stride: int = 2,
+    relu: bool = True,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    y = deconv(x, params["w"], stride=stride)
+    y = batch_stat_norm(y, eps=eps)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def avg_pool_same(x: jnp.ndarray, pool: int, stride: int) -> jnp.ndarray:
+    """SAME average pooling that EXCLUDES padding from the mean (TF semantics)."""
+    nd = x.ndim - 2
+    window = (1,) + (pool,) * nd + (1,)
+    strides = (1,) + (stride,) * nd + (1,)
+    summed = lax.reduce_window(x.astype(jnp.float32), 0.0, lax.add, window, strides, "SAME")
+    ones = jnp.ones(x.shape[:-1] + (1,), jnp.float32)
+    counts = lax.reduce_window(ones, 0.0, lax.add, window, strides, "SAME")
+    return (summed / counts).astype(x.dtype)
+
+
+def max_pool_same(x: jnp.ndarray, pool: int, stride: int) -> jnp.ndarray:
+    nd = x.ndim - 2
+    window = (1,) + (pool,) * nd + (1,)
+    strides = (1,) + (stride,) * nd + (1,)
+    return lax.reduce_window(x, -jnp.inf, lax.max, window, strides, "SAME")
+
+
+# ---------------------------------------------------------------------------
+# parameter constructors
+# ---------------------------------------------------------------------------
+
+
+def glorot_normal(key, shape) -> jnp.ndarray:
+    """Xavier/Glorot normal over TF conv layout (spatial..., in, out).
+
+    Matches tf.contrib.layers.xavier_initializer(uniform=False) used for every conv
+    (network.py:42): stddev^2 = 2 / (fan_in + fan_out) with spatial receptive field.
+    """
+    receptive = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    fan_in = shape[-2] * receptive
+    fan_out = shape[-1] * receptive
+    std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+def key_for(key, name: str):
+    """Deterministic per-layer-name subkey (stable under code reordering)."""
+    h = int(np.uint32(abs(hash(name)) % (2**31)))
+    return jax.random.fold_in(key, h)
+
+
+def init_conv(key, name: str, k: int, cin: int, cout: int, nd: int = 2, biased: bool = False) -> dict:
+    p = {"w": glorot_normal(key_for(key, name), (k,) * nd + (cin, cout))}
+    if biased:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def init_deconv(key, name: str, k: int, cin: int, cout: int, nd: int = 2) -> dict:
+    # TF conv_transpose kernel layout: (spatial..., out, in)
+    return {"w": glorot_normal(key_for(key, name), (k,) * nd + (cout, cin))}
