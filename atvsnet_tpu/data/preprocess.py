@@ -1,0 +1,182 @@
+"""Host-side input preparation (numpy/cv2), reference atvsnet/preprocess.py.
+
+Covers: per-image variance normalization, image/camera rescaling, center-crop to
+32-multiples with principal-point shift, inverse-depth sweep conversion, and the
+adaptive-scaling policy of the eval driver (eval_pointcloud.py:124-207).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover - cv2 is present in the image; guard anyway
+    cv2 = None
+
+from atvsnet_tpu.data.cams import load_cam
+from atvsnet_tpu.geometry.cameras import scale_camera_np
+
+
+def center_image(img: np.ndarray) -> np.ndarray:
+    """Per-image, per-channel variance normalization (preprocess.py:20-25)."""
+    img = img.astype(np.float32)
+    var = np.var(img, axis=(0, 1), keepdims=True)
+    mean = np.mean(img, axis=(0, 1), keepdims=True)
+    return (img - mean) / (np.sqrt(var) + 1e-8)
+
+
+def scale_image(image: np.ndarray, scale: float, interpolation: str = "linear") -> np.ndarray:
+    inter = cv2.INTER_LINEAR if interpolation == "linear" else cv2.INTER_NEAREST
+    return cv2.resize(image, None, fx=scale, fy=scale, interpolation=inter)
+
+
+def scale_mvs_input(images: list, cams: list, scale: float = 1.0, depth_image=None):
+    images = [scale_image(im, scale) for im in images]
+    cams = [scale_camera_np(c, scale) for c in cams]
+    if depth_image is None:
+        return images, cams
+    return images, cams, scale_image(depth_image, scale, "nearest")
+
+
+def crop_mvs_input(
+    images: list,
+    cams: list,
+    max_h: int,
+    max_w: int,
+    depth_image=None,
+    base_image_size: int = 32,
+):
+    """Center-crop to <= (max_h, max_w) and to multiples of base_image_size,
+    shifting principal points accordingly (preprocess.py:63-92)."""
+    out_images, out_cams = [], []
+    start_h = start_w = finish_h = finish_w = 0
+    for image, cam in zip(images, cams):
+        h, w = image.shape[:2]
+        new_h = max_h if h > max_h else int(math.ceil(h / base_image_size) * base_image_size)
+        new_w = max_w if w > max_w else int(math.ceil(w / base_image_size) * base_image_size)
+        start_h = (h - new_h) // 2
+        start_w = (w - new_w) // 2
+        finish_h = start_h + new_h
+        finish_w = start_w + new_w
+        out_images.append(image[start_h:finish_h, start_w:finish_w])
+        cam = np.copy(cam)
+        cam[1][0][2] -= start_w
+        cam[1][1][2] -= start_h
+        out_cams.append(cam)
+    if depth_image is not None:
+        return out_images, out_cams, depth_image[start_h:finish_h, start_w:finish_w]
+    return out_images, out_cams
+
+
+def mask_depth_image(depth_image: np.ndarray, min_depth: float, max_depth: float) -> np.ndarray:
+    """Zero out-of-range depths (preprocess.py:94-100)."""
+    out = np.where(depth_image <= min_depth, 0.0, depth_image)
+    out = np.where(out > max_depth, 0.0, out)
+    return np.expand_dims(out, 2) if out.ndim == 2 else out
+
+
+def to_inverse_depth_range(cam: np.ndarray, max_d: int) -> np.ndarray:
+    """Convert the cam depth row from metric to an inverse-depth sweep.
+
+    Reference eval_pointcloud.py:153-169: disp in [1/depth_max, 1/depth_min] split
+    into max_d equal steps.
+    """
+    cam = np.copy(cam)
+    depth_min = cam[1][3][0]
+    depth_interval = cam[1][3][1]
+    if cam[1][3][2] > 0 and cam[1][3][3] > 0:
+        num_d = cam[1][3][2]
+        depth_max = cam[1][3][3]
+    else:
+        num_d = max_d
+        depth_max = depth_min + float(num_d - 1) * depth_interval
+    disp_min = 1.0 / depth_max
+    disp_max = 1.0 / depth_min
+    cam[1][3][0] = disp_min
+    cam[1][3][1] = (disp_max - disp_min) / max_d
+    cam[1][3][2] = max_d
+    cam[1][3][3] = disp_max
+    return cam
+
+
+def load_mvs_sample(
+    paths: Sequence[str],
+    view_num: int,
+    max_d: int = 128,
+    max_h: int = 480,
+    max_w: int = 896,
+    sample_scale: float = 0.25,
+    inverse_depth: bool = True,
+    adaptive_scaling: bool = True,
+    base_image_size: int = 32,
+):
+    """Load one [ref, views...] sample as the eval driver does (eval_pointcloud.py:96-209).
+
+    paths alternates image/cam files; returns dict with
+      images        (1, N, H, W, 3) float32 variance-normalized
+      images_raw    (1, N, H, W, 3) uint8/float cropped raw images (full res)
+      cams          (1, N, 2, 4, 4) float32, intrinsics at sample_scale
+      index         ref image index (int)
+    """
+    n_available = len(paths) // 2
+    images, cams = [], []
+    for v in range(min(view_num, n_available)):
+        images.append(cv2.imread(paths[2 * v]))
+        cams.append(load_cam(paths[2 * v + 1], max_d=max_d))
+    # pad with the reference view when fewer neighbors exist (eval_pointcloud.py:115-121)
+    while len(images) < view_num:
+        images.append(cv2.imread(paths[0]))
+        cams.append(load_cam(paths[1], max_d=max_d))
+    for cam in cams:
+        if cam[1][3][2] == 0:
+            cam[1][3][2] = max_d
+
+    resize_scale = 1.0
+    if adaptive_scaling:
+        h_scale = max(float(max_h) / im.shape[0] for im in images)
+        w_scale = max(float(max_w) / im.shape[1] for im in images)
+        if h_scale > 1 or w_scale > 1:
+            raise ValueError("input images smaller than max_h x max_w")
+        resize_scale = max(h_scale, w_scale)
+    images, cams = scale_mvs_input(images, cams, scale=resize_scale)
+    images, cams = crop_mvs_input(images, cams, max_h, max_w, base_image_size=base_image_size)
+
+    centered = [center_image(im) for im in images]
+    if inverse_depth:
+        cams = [to_inverse_depth_range(c, max_d) for c in cams]
+    cams = [scale_camera_np(c, sample_scale) for c in cams]
+
+    import os
+
+    index = int(os.path.splitext(os.path.basename(paths[0]))[0])
+    return {
+        "images": np.expand_dims(np.stack(centered), 0).astype(np.float32),
+        "images_raw": np.expand_dims(np.stack(images), 0),
+        "cams": np.expand_dims(np.stack(cams), 0).astype(np.float32),
+        "index": index,
+    }
+
+
+def load_example_dir(data_root: str, view_num: int):
+    """Load an example/{i} directory: {v}.jpg + {v}_cam.npy [+ 0_gt.npy].
+
+    Reference example.py:326-342 — images are fed RAW (no normalization) and the
+    bundled cam npys already carry 1/4-scale intrinsics and an inverse-depth sweep row.
+    """
+    import os
+
+    images, cams = [], []
+    for v in range(view_num):
+        img = cv2.imread(os.path.join(data_root, f"{v}.jpg"))
+        cam = np.load(os.path.join(data_root, f"{v}_cam.npy"))
+        images.append(img)
+        cams.append(cam)
+    images = np.stack(images)[None].astype(np.float32)  # (1, N, H, W, 3) BGR
+    cams = np.stack(cams)[None].astype(np.float32)
+    gt_path = os.path.join(data_root, "0_gt.npy")
+    depth_gt = np.load(gt_path) if os.path.exists(gt_path) else None
+    return images, cams, depth_gt

@@ -1,0 +1,179 @@
+"""Multi-view depth consistency fusion — TPU replacement for the fusibile CUDA kernel.
+
+Semantics of reference fusibile/fusibile.cu:138-277 with the pipeline's settings
+(depth_fusion.py:205-226: depth_min=0.01, depth_max=1e5, normal_thresh=360deg,
+disp_thresh=0.01, num_consistent=2):
+
+For every reference camera r and pixel p with depth d = D_r[p] (0 = filtered out):
+  X = M_r^{-1} (d*u - p4_r)                      back-projection, fusibile.cu:56-65
+  for every other camera i:
+    (pt, z) = project(X, P_i)                    fusibile.cu:127-133
+    if pt in bounds:                             fusibile.cu:195-198
+      z_i = bilinear(D_i, pt + 0.5)              tex2D linear fetch, fusibile.cu:203
+      disp(x) = f_r * |C_r - C_i| / x            fusibile.cu:51-54
+      consistent if |disp(z) - disp(z_i)| / disp(z) < disp_thresh   fusibile.cu:211
+      (normal-angle test always passes at 360 deg; pipeline uses fake unit normals,
+       depth_fusion.py:92-111)
+  average texture over {r} + consistent views; emit a point iff
+  #consistent >= num_consistent.                 fusibile.cu:244-263
+
+The CUDA kernel's per-pixel loop over views becomes a vmap over reference cameras of a
+dense (V, h, w) reprojection + gather; the variable-length point list becomes a fixed
+mask compacted on the host (fusion/ply.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Sample (H, W[, C]) at float pixel coords with CUDA tex2D border behavior.
+
+    tex2D with +0.5 offsets and linear filtering interpolates between texel centers;
+    coordinates are clamped at the image border (address mode wrap is configured but
+    in-bounds projection is enforced by the caller's bounds mask).
+    """
+    H, W = img.shape[:2]
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wx = x - x0
+    wy = y - y0
+
+    flat = img.reshape(H * W, -1)
+
+    def g(yy, xx):
+        return flat[(yy * W + xx).reshape(-1)].reshape(x.shape + (flat.shape[-1],))
+
+    out = (
+        g(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
+        + g(y0, x1) * ((1 - wy) * wx)[..., None]
+        + g(y1, x0) * (wy * (1 - wx))[..., None]
+        + g(y1, x1) * (wy * wx)[..., None]
+    )
+    return out
+
+
+def camera_geometry(cams: np.ndarray):
+    """cams (V, 2, 4, 4) -> P (V,3,4), M_inv (V,3,3), centers (V,3), f (V,)."""
+    cams = np.asarray(cams, np.float64)
+    K = cams[:, 1, :3, :3]
+    E = cams[:, 0, :3, :4]
+    P = K @ E
+    M = P[:, :, :3]
+    M_inv = np.linalg.inv(M)
+    centers = -(M_inv @ P[:, :, 3:4])[..., 0]
+    f = K[:, 0, 0]
+    return (
+        P.astype(np.float32),
+        M_inv.astype(np.float32),
+        centers.astype(np.float32),
+        f.astype(np.float32),
+    )
+
+
+@partial(jax.jit, static_argnames=("disp_thresh", "num_consistent"))
+def _fuse_one_ref(
+    ref_idx: jnp.ndarray,
+    depths: jnp.ndarray,    # (V, H, W) metric depth, 0 = invalid
+    images: jnp.ndarray,    # (V, H, W, 3) float RGB/BGR
+    P: jnp.ndarray,         # (V, 3, 4)
+    M_inv: jnp.ndarray,     # (V, 3, 3)
+    centers: jnp.ndarray,   # (V, 3)
+    f: jnp.ndarray,         # (V,)
+    disp_thresh: float,
+    num_consistent: int,
+):
+    V, H, W = depths.shape
+    depth_r = jnp.take(depths, ref_idx, axis=0)            # (H, W)
+    Minv_r = jnp.take(M_inv, ref_idx, axis=0)
+    P4_r = jnp.take(P, ref_idx, axis=0)[:, 3]              # (3,)
+    C_r = jnp.take(centers, ref_idx, axis=0)
+    f_r = jnp.take(f, ref_idx, axis=0)
+
+    # back-project at INTEGER pixel coords (fusibile.cu:56-65 uses p directly)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
+    pt_h = jnp.stack([depth_r * xs - P4_r[0], depth_r * ys - P4_r[1], depth_r - P4_r[2]], -1)
+    X = jnp.einsum("ij,hwj->hwi", Minv_r, pt_h, precision=_HI)  # (H, W, 3)
+
+    def check_view(i):
+        Pi = P[i]
+        proj = jnp.einsum("ij,hwj->hwi", Pi[:, :3], X, precision=_HI) + Pi[:, 3]
+        z = proj[..., 2]
+        px = proj[..., 0] / z
+        py = proj[..., 1] / z
+        in_bounds = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (i != ref_idx)
+
+        sampled = _bilinear_sample(
+            jnp.concatenate([depths[i][..., None], images[i]], axis=-1), px, py
+        )
+        z_i = sampled[..., 0]
+        rgb_i = sampled[..., 1:]
+
+        baseline = jnp.linalg.norm(C_r - centers[i])
+        disp = f_r * baseline / z
+        disp_i = f_r * baseline / z_i
+        # relative disparity check (fusibile.cu:211); depth 0 -> disp inf -> nan -> False
+        rel = jnp.abs(disp - disp_i) / disp
+        ok = in_bounds & (rel < disp_thresh)
+        # (normal-angle test omitted: pipeline threshold 360 deg always passes)
+        return ok, jnp.where(ok[..., None], rgb_i, 0.0)
+
+    ok_all, rgb_all = jax.vmap(check_view)(jnp.arange(V))   # (V, H, W), (V, H, W, 3)
+    count = jnp.sum(ok_all.astype(jnp.int32), axis=0)       # (H, W)
+    ref_rgb = jnp.take(images, ref_idx, axis=0)
+    avg_rgb = (ref_rgb + jnp.sum(rgb_all, axis=0)) / (count[..., None] + 1.0)
+
+    emit = count >= num_consistent                          # (H, W)
+    return emit, X, avg_rgb
+
+
+def fuse_depth_maps(
+    depths: np.ndarray,
+    images: np.ndarray,
+    cams: np.ndarray,
+    disp_thresh: float = 0.01,
+    num_consistent: int = 2,
+    batch_refs: int = 1,
+):
+    """Fuse all views' depth maps into one point set.
+
+    depths (V, H, W) metric depth (0 = filtered), images (V, H, W, 3) uint8/float,
+    cams (V, 2, 4, 4). Returns (points (M, 3) float32, colors (M, 3) uint8) — every
+    camera acts as reference in turn, like the host loop at fusibile.cu:425-430.
+    """
+    V = depths.shape[0]
+    P, M_inv, centers, f = camera_geometry(cams)
+    depths_j = jnp.asarray(depths, jnp.float32)
+    images_j = jnp.asarray(images, jnp.float32)
+    P_j, Mi_j, C_j, f_j = map(jnp.asarray, (P, M_inv, centers, f))
+
+    pts_out, rgb_out = [], []
+    for r in range(V):
+        emit, X, rgb = _fuse_one_ref(
+            jnp.asarray(r), depths_j, images_j, P_j, Mi_j, C_j, f_j,
+            disp_thresh=float(disp_thresh), num_consistent=int(num_consistent),
+        )
+        emit = np.asarray(emit)
+        if emit.any():
+            pts_out.append(np.asarray(X)[emit])
+            rgb_out.append(np.asarray(rgb)[emit])
+    if not pts_out:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+    points = np.concatenate(pts_out).astype(np.float32)
+    colors = np.clip(np.concatenate(rgb_out), 0, 255).astype(np.uint8)
+    # non-finite coordinates are zeroed, matching displayUtils.h:113-118
+    bad = ~np.isfinite(points).all(axis=1)
+    points[bad] = 0.0
+    return points, colors

@@ -1,0 +1,133 @@
+"""A-TVSNet — the full N-view pipeline as ONE jitted program.
+
+The reference splits this into four sess.run stages with host-side numpy staging of
+(B, D, h, w, 8, N-1) cost volumes between them (reference atvsnet/example.py:144-181 —
+its dominant overhead, SURVEY.md §3.5). Here all stages run device-resident:
+
+  Stage 1  per-pair base nets     lax.scan over the N-1 pairs (CRM weights shared)
+  Stage 2  AAM1 aggregation       attention over the stacked pair volumes
+  Stage 3  per-pair refinement    lax.scan, consuming the aggregated volumes
+  Stage 4  AAM2 + soft-argmin     upsampled depth + confidence maps
+
+lax.scan keeps peak HBM at one pair's working set while XLA pipelines the stacked
+outputs; the multi-chip variant in parallel/ shards the pair axis over the mesh instead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from atvsnet_tpu.config import PipelineConfig
+from atvsnet_tpu.geometry.depth_regression import prob2depth, prob2depth_upsample
+from atvsnet_tpu.models.tvsnet import (
+    aam_aggregate,
+    aam_output_conv,
+    extract_features,
+    tvsnet_base,
+    tvsnet_refine,
+)
+
+
+def multi_view_forward(
+    params: dict,
+    images: jnp.ndarray,
+    cams: jnp.ndarray,
+    cfg: PipelineConfig,
+    out_prob_map: bool = False,
+):
+    """images (B, N, H, W, 3), cams (B, N, 2, 4, 4) -> depth/confidence outputs.
+
+    Equivalent to run_test_multiview (reference example.py:51-216) / run_eval_pc
+    (eval_pointcloud.py:212-397) but with zero host round-trips.
+    """
+    B, N = images.shape[:2]
+    assert N == cfg.view_num and N > 2, (N, cfg.view_num)
+    D = cfg.max_d
+    depth_start = cams[:, 0, 1, 3, 0]
+    depth_interval = cams[:, 0, 1, 3, 1]
+
+    features = extract_features(params, images, cfg)               # (B, N, h, w, F)
+    shallow = extract_features(params, images, cfg, shallow=True)  # (B, N, h, w, 16)
+    ref_feature = features[:, 0]
+    ref_cam = cams[:, 0]
+    shallow_ref = shallow[:, 0]
+    view_ids = jnp.arange(1, N)
+
+    # ---- stage 1: per-pair base nets (reference example.py:144-151) ----
+    def base_step(carry, view_i):
+        view_feature = jnp.take(features, view_i, axis=1)
+        view_cam = jnp.take(cams, view_i, axis=1)
+        out = tvsnet_base(
+            params, ref_feature, view_feature, ref_cam, view_cam,
+            cfg, depth_start, depth_interval, siamese=True,
+        )
+        return carry, (out.filtered_cost, out.prob_volume, out.depth_view)
+
+    _, (filtered_costs, prob_volumes, depth_views) = jax.lax.scan(base_step, None, view_ids)
+    # filtered_costs: (P, B, D, h, w, C); depth_views: (P, B, h, w, 1)
+
+    # ---- stage 2: AAM1 (reference example.py:153-158) ----
+    stacked = jnp.moveaxis(filtered_costs, 0, -1)                  # (B, D, h, w, C, P)
+    cost_agg = aam_aggregate(params, stacked, stage=1)             # (B, D, h, w, C)
+    prob_agg = aam_output_conv(params, cost_agg, stage=1)          # (B, D, h, w)
+    if out_prob_map:
+        depth_agg, conf_agg = prob2depth(prob_agg, D, depth_start, depth_interval, True)
+    else:
+        depth_agg = prob2depth(prob_agg, D, depth_start, depth_interval)
+        conf_agg = None
+
+    # ---- stage 3: per-pair refinement (reference example.py:160-174) ----
+    def refine_step(carry, inp):
+        view_i, depth_view = inp
+        view_cam = jnp.take(cams, view_i, axis=1)
+        shallow_view = jnp.take(shallow, view_i, axis=1)
+        refined_prob, refined_cost = tvsnet_refine(
+            params, depth_agg, depth_view, prob_agg, cost_agg,
+            ref_cam, view_cam, shallow_ref, shallow_view,
+            cfg, depth_start, depth_interval,
+        )
+        return carry, (refined_prob, refined_cost)
+
+    _, (refined_probs, refined_costs) = jax.lax.scan(
+        refine_step, None, (view_ids, depth_views)
+    )
+
+    # ---- stage 4: AAM2 + upsampled soft-argmin (reference example.py:176-181) ----
+    stacked_ref = jnp.moveaxis(refined_costs, 0, -1)               # (B, D, h, w, C, P)
+    cost_agg2 = aam_aggregate(params, stacked_ref, stage=2)
+    prob_agg2 = aam_output_conv(params, cost_agg2, stage=2)
+    if out_prob_map:
+        depth_refined, depth_refined_up, conf, conf_up = prob2depth_upsample(
+            prob_agg2, D, depth_start, depth_interval, out_prob_map=True
+        )
+    else:
+        depth_refined, depth_refined_up = prob2depth_upsample(
+            prob_agg2, D, depth_start, depth_interval
+        )
+        conf = conf_up = None
+
+    out = {
+        "depth": depth_refined,              # (B, h, w, 1) — sweep-space (inverse depth)
+        "depth_up": depth_refined_up,        # (B, 4h, 4w, 1)
+        "depth_agg_initial": depth_agg,
+        "prob_volume_agg": prob_agg,
+        "refined_prob_volumes": refined_probs,
+        "depth_views": depth_views,
+    }
+    if out_prob_map:
+        out["confidence"] = conf
+        out["confidence_up"] = conf_up
+        out["confidence_agg_initial"] = conf_agg
+    return out
+
+
+def sweep_to_depth(depth_sweep: jnp.ndarray, inverse_depth: bool = True, eps: float = 1e-10) -> jnp.ndarray:
+    """Convert soft-argmin output from sweep space to metric depth.
+
+    Reference example.py:184-186: non-positive inverse depths become 0 (infinite
+    depth replaced by 1/inf); identity when the sweep is already metric.
+    """
+    if not inverse_depth:
+        return depth_sweep
+    return jnp.where(depth_sweep < eps, 0.0, 1.0 / jnp.maximum(depth_sweep, eps))

@@ -1,0 +1,76 @@
+"""Attention aggregation module (AAM) over view pairs.
+
+Reference cnn_wrapper/network.py:282-408: for each view slice x_i of the
+(B, D, h, w, C, N) stack, with a per-view-applied UNIQUE kernel and a SHARED kernel,
+
+    a_i = relu(conv3d(x_i, W_unique)) - relu(conv3d(x_i, W_shared))
+          + sum_j relu(conv3d(x_j, W_shared))
+
+then score = softmax_N(a) and output = sum_i score_i * x_i. The cross-view shared sum
+is the information-exchange term — under view-sharded execution it is exactly a psum
+over the view mesh axis (SURVEY.md §5).
+
+The reference serializes the N convs with tf.scan (network.py:323-349); here the view
+axis folds into the conv batch: two conv3d calls total, no scan.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from atvsnet_tpu.nn import layers as L
+
+
+def init_attention(key, scope: str, channels: int, kernel_size: int = 3) -> dict:
+    base = f"{scope}/attention_activation"
+    return {
+        "weight_unique": L.glorot_normal(
+            L.key_for(key, base + "/weight_unique"),
+            (kernel_size,) * 3 + (channels, channels),
+        ),
+        "weight_shared": L.glorot_normal(
+            L.key_for(key, base + "/weight_shared"),
+            (kernel_size,) * 3 + (channels, channels),
+        ),
+    }
+
+
+def _per_view_conv(x_views: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """x_views (N*B, D, h, w, C) -> relu(conv3d) with one shared kernel."""
+    return L.conv(x_views, w, relu=True)
+
+
+def attention_activation(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, h, w, C, N) -> per-view activations (B, D, h, w, C, N)."""
+    B, D, h, w, C, N = x.shape
+    xv = jnp.moveaxis(x, -1, 0).reshape(N * B, D, h, w, C)
+
+    unique = _per_view_conv(xv, params["weight_unique"]).reshape(N, B, D, h, w, C)
+    shared = _per_view_conv(xv, params["weight_shared"]).reshape(N, B, D, h, w, C)
+    shared_sum = jnp.sum(shared, axis=0)  # (B, D, h, w, C) — psum over views if sharded
+
+    out = unique - shared + shared_sum[None]
+    return jnp.moveaxis(out, 0, -1)  # (B, D, h, w, C, N)
+
+
+def _softmax_views(act: jnp.ndarray) -> jnp.ndarray:
+    m = jnp.max(act, axis=-1, keepdims=True)
+    e = jnp.exp(act - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def attention_aggregate(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, h, w, C, N) -> (B, D, h, w, C): softmax-over-views weighted sum."""
+    act = attention_activation(params, x).astype(jnp.float32)
+    score = _softmax_views(act)
+    return jnp.sum(score.astype(x.dtype) * x, axis=-1)
+
+
+def init_output_conv(key, name: str, channels: int) -> dict:
+    """3x3x3 conv to 1 channel, no relu/bias (OutputConv, atvsnet.py:216-226)."""
+    return {name: L.init_conv(key, name, 3, channels, 1, nd=3)}
+
+
+def output_conv(params: dict, name: str, cost_volume: jnp.ndarray) -> jnp.ndarray:
+    """(B, D, h, w, C) -> (B, D, h, w)."""
+    return L.conv(cost_volume, params[name]["w"])[..., 0]

@@ -1,0 +1,61 @@
+"""Device mesh construction and sharding policy.
+
+Parallelism axes for this workload (SURVEY.md §2.3 — the reference has none, only
+num_gpus scaffolding at example.py:39-42):
+
+  'data'  — scenes / reference images (pure DP; batch axis).
+  'view'  — the N-1 independent view-pair computations of stages 1 and 3. They only
+            synchronize inside attention aggregation, whose cross-view terms are one
+            all-reduce over this axis (the shared-weight sum, reference network.py:326,
+            and the softmax normalizer over views).
+
+Collectives ride ICI via XLA's SPMD partitioner: the pipeline annotates the pair-stacked
+intermediates with `with_sharding_constraint` and XLA inserts the psums.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int = 1,
+    n_view: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    need = n_data * n_view
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.asarray(devices[:need]).reshape(n_data, n_view)
+    return Mesh(arr, axis_names=("data", "view"))
+
+
+def auto_mesh_shape(n_devices: int, num_pairs: int) -> tuple[int, int]:
+    """(n_data, n_view): largest divisor of num_pairs that divides n_devices goes to
+    'view'; the rest becomes data parallelism."""
+    n_view = 1
+    for cand in range(min(n_devices, num_pairs), 0, -1):
+        if num_pairs % cand == 0 and n_devices % cand == 0:
+            n_view = cand
+            break
+    return n_devices // n_view, n_view
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-leading arrays: shard dim 0 over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def pair_sharding(mesh: Mesh) -> NamedSharding:
+    """Pair-stacked arrays (P, B, ...): pair axis over 'view', batch over 'data'."""
+    return NamedSharding(mesh, P("view", "data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,120 @@
+"""Benchmark: depth-maps/sec/chip on the ETH3D eval workload shape.
+
+Workload matches the reference eval driver's per-ref-image inference
+(eval_pointcloud.py:212-352): view_num=5, 480x896 input (32-multiples), 128
+inverse-depth planes, full 4-stage A-TVSNet (per-pair base nets + AAM1 + per-pair
+refinement + AAM2 + upsampled soft-argmin) — executed as ONE jitted program.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo commits no runtime numbers (BASELINE.md) and its
+TF-1.5/CUDA-9 stack cannot run here. The denominator is this same workload measured on
+the host CPU (our own pipeline, fp32) — the north-star's "CPU reference"
+(BASELINE.json: >10x depth-maps/sec/chip vs CPU) — measured once and cached in
+BENCH_CPU_BASELINE.json. If no cache exists and --with-cpu-baseline is not given, a
+conservative documented anchor of 0.05 depth-maps/sec is used (a single CPU pass of
+this workload measures in the tens of seconds).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+CPU_ANCHOR_DM_PER_S = 0.05
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_CPU_BASELINE.json")
+
+VIEW_NUM = 5
+H, W, D = 480, 896, 128
+
+
+def _inputs(view_num: int = VIEW_NUM):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests._utils import synthetic_scene
+
+    images, cams = synthetic_scene(view_num=view_num, H=H, W=W, D=D, seed=0)
+    return images, cams
+
+
+def measure(device, compute_dtype: str, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from atvsnet_tpu.config import PipelineConfig
+    from atvsnet_tpu.models.atvsnet import multi_view_forward
+    from atvsnet_tpu.models.tvsnet import init_params
+
+    cfg = PipelineConfig(
+        view_num=VIEW_NUM, max_d=D, max_h=H, max_w=W, compute_dtype=compute_dtype
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images, cams = _inputs()
+
+    params = jax.device_put(params, device)
+    images = jax.device_put(jnp.asarray(images), device)
+    cams = jax.device_put(jnp.asarray(cams), device)
+
+    fwd = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg)["depth_up"])
+    # warmup + force full materialization (block_until_ready alone can return early on
+    # experimental platforms — device_get is the ground truth)
+    np.asarray(fwd(params, images, cams))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(fwd(params, images, cams))
+    dt = (time.perf_counter() - t0) / iters
+    del out
+    return 1.0 / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--with-cpu-baseline", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    dev = jax.devices()[0]
+    dm_per_s = measure(dev, args.dtype, args.iters)
+
+    baseline = None
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            baseline = json.load(f).get("cpu_dm_per_s")
+    if baseline is None and args.with_cpu_baseline:
+        try:
+            jax.config.update("jax_platforms", "axon,cpu")
+        except Exception:
+            pass
+        try:
+            cpu = jax.devices("cpu")[0]
+            baseline = measure(cpu, "float32", iters=1)
+            with open(CACHE, "w") as f:
+                json.dump({"cpu_dm_per_s": baseline, "workload": f"{VIEW_NUM}v {H}x{W} D{D}"}, f)
+        except Exception as e:  # CPU backend unavailable under the TPU plugin
+            print(f"# cpu baseline unavailable: {e}", flush=True)
+    if baseline is None:
+        baseline = CPU_ANCHOR_DM_PER_S
+
+    print(
+        json.dumps(
+            {
+                "metric": "eth3d_5view_depth_maps_per_sec_per_chip",
+                "value": round(dm_per_s, 4),
+                "unit": "depth maps/s (5-view, 480x896, D=128)",
+                "vs_baseline": round(dm_per_s / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

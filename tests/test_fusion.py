@@ -1,0 +1,119 @@
+"""Fusion tests on synthetic multi-view geometry with known-consistent depth maps
+(acceptance rule oracle per reference fusibile/fusibile.cu:211-263)."""
+
+import numpy as np
+import pytest
+
+from atvsnet_tpu.fusion.consistency import camera_geometry, fuse_depth_maps
+from atvsnet_tpu.fusion.dmb import fake_normals, read_dmb, read_p_matrix, write_dmb, write_p_matrix
+from atvsnet_tpu.fusion.ply import read_ply, write_ply
+
+from tests._utils import make_cam, rotation
+
+
+def plane_scene(V=3, H=24, W=32, z=4.0, jitter=None):
+    """V cameras looking at the fronto-parallel plane z=const (world frame)."""
+    K = np.array([[40.0, 0, W / 2.0], [0, 40.0, H / 2.0], [0, 0, 1.0]])
+    cams, depths, images = [], [], []
+    rng = np.random.RandomState(0)
+    for v in range(V):
+        R = rotation([0, 1, 0], 0.02 * v)
+        t = np.array([0.15 * v, 0.0, 0.0])
+        cams.append(make_cam(K, R, t))
+        # depth of the plane z=z0 along each pixel ray: z_cam such that world z = z0.
+        # For small rotations about y, z_cam = (z0 - C_z) / r3 . dir; compute exactly:
+        xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+        pix = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float64)
+        Kinv = np.linalg.inv(K)
+        rays_cam = pix @ Kinv.T                       # direction in camera frame (z=1)
+        rays_world = rays_cam @ R                      # R^T applied: cam->world
+        C = -R.T @ t
+        # world z of point = C_z + s * ray_z = z0 -> s = (z0 - C_z)/ray_z; depth = s (cam z=1 scaled)
+        s = (z - C[2]) / rays_world[..., 2]
+        depths.append(s.astype(np.float32))
+        images.append(rng.randint(0, 255, (H, W, 3)).astype(np.uint8))
+    depths = np.stack(depths)
+    if jitter is not None:
+        depths = depths + jitter
+    return depths, np.stack(images), np.stack(cams)
+
+
+class TestCameraGeometry:
+    def test_center_recovery(self):
+        depths, images, cams = plane_scene(V=2)
+        P, M_inv, centers, f = camera_geometry(cams)
+        R = cams[1, 0, :3, :3]
+        t = cams[1, 0, :3, 3]
+        np.testing.assert_allclose(centers[1], -R.T @ t, atol=1e-5)
+        assert f[0] == pytest.approx(40.0)
+
+
+class TestFusion:
+    def test_consistent_plane_accepted(self):
+        depths, images, cams = plane_scene(V=3)
+        points, colors = fuse_depth_maps(depths, images, cams, 0.01, 2)
+        # most pixels of each ref view should fuse (plane visible in all views)
+        assert points.shape[0] > 0.5 * 3 * depths.shape[1] * depths.shape[2]
+        # fused points lie on the plane z = 4
+        assert np.abs(points[:, 2] - 4.0).max() < 1e-2
+
+    def test_inconsistent_rejected(self):
+        depths, images, cams = plane_scene(V=3)
+        bad = depths.copy()
+        bad[1:] *= 1.5  # views disagree with every reference by >> disp_thresh
+        points, _ = fuse_depth_maps(bad, images, cams, 0.01, 2)
+        assert points.shape[0] == 0
+
+    def test_zero_depth_filtered(self):
+        depths, images, cams = plane_scene(V=3)
+        depths[:, :, :16] = 0.0  # left half filtered out
+        points, _ = fuse_depth_maps(depths, images, cams, 0.01, 2)
+        # no emitted point may back-project from a zero-depth pixel: all fused points
+        # still on the plane
+        assert points.shape[0] > 0
+        assert np.abs(points[:, 2] - 4.0).max() < 1e-2
+
+    def test_num_consistent_threshold(self):
+        depths, images, cams = plane_scene(V=3)
+        few, _ = fuse_depth_maps(depths, images, cams, 0.01, 2)
+        many, _ = fuse_depth_maps(depths, images, cams, 0.01, 3)
+        assert many.shape[0] < few.shape[0]
+
+
+class TestIO:
+    def test_dmb_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        img = rng.rand(6, 9).astype(np.float32)
+        p = str(tmp_path / "x.dmb")
+        write_dmb(p, img)
+        np.testing.assert_array_equal(read_dmb(p), img)
+
+    def test_dmb_roundtrip_3ch(self, tmp_path):
+        rng = np.random.RandomState(1)
+        img = rng.rand(5, 7, 3).astype(np.float32)
+        p = str(tmp_path / "n.dmb")
+        write_dmb(p, img)
+        np.testing.assert_array_equal(read_dmb(p), img)
+
+    def test_p_matrix_roundtrip(self, tmp_path):
+        P = np.arange(12, dtype=np.float64).reshape(3, 4)
+        path = str(tmp_path / "cam.P")
+        write_p_matrix(path, P)
+        np.testing.assert_allclose(read_p_matrix(path), P)
+
+    def test_ply_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(2)
+        pts = rng.rand(10, 3).astype(np.float32)
+        rgb = rng.randint(0, 255, (10, 3)).astype(np.uint8)
+        path = str(tmp_path / "c.ply")
+        write_ply(path, pts, rgb)
+        pts2, rgb2 = read_ply(path)
+        np.testing.assert_array_equal(pts2, pts)
+        np.testing.assert_array_equal(rgb2, rgb)
+
+    def test_fake_normals(self):
+        d = np.array([[1.0, 0.0], [2.0, 3.0]], np.float32)
+        n = fake_normals(d)
+        assert n.shape == (2, 2, 3)
+        np.testing.assert_allclose(n[0, 0], 1 / np.sqrt(3), rtol=1e-5)
+        np.testing.assert_allclose(n[0, 1], 0.0)

@@ -1,0 +1,174 @@
+"""Tests for NN primitives and modules (reference cnn_wrapper/network.py semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from atvsnet_tpu.config import PipelineConfig
+from atvsnet_tpu.nn import layers as L
+from atvsnet_tpu.nn.blocks import bottleneck, init_bottleneck, init_res_block, res_block
+from atvsnet_tpu.nn.fem import fem, fem_shallow, init_fem, init_fem_shallow
+from atvsnet_tpu.nn.crm import crm, init_crm
+from atvsnet_tpu.nn.aam import attention_activation, attention_aggregate, init_attention
+from atvsnet_tpu.nn.refine import init_refine_net, refine_net
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestLayers:
+    def test_conv_same_matches_manual(self):
+        rng = np.random.RandomState(0)
+        x = rng.rand(1, 5, 5, 2).astype(np.float32)
+        w = rng.rand(3, 3, 2, 4).astype(np.float32)
+        out = np.asarray(L.conv(jnp.asarray(x), jnp.asarray(w)))
+        assert out.shape == (1, 5, 5, 4)
+        # center pixel: plain correlation
+        ref = np.einsum("hwio,hwi->o", w, x[0, 1:4, 1:4, :])
+        np.testing.assert_allclose(out[0, 2, 2], ref, rtol=1e-5)
+
+    def test_batch_stat_norm_zero_mean_unit_var(self):
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(2, 6, 6, 3).astype(np.float32) * 5 + 2)
+        y = np.asarray(L.batch_stat_norm(x, eps=0.0))
+        np.testing.assert_allclose(y.mean(axis=(0, 1, 2)), 0.0, atol=1e-5)
+        np.testing.assert_allclose(y.var(axis=(0, 1, 2)), 1.0, atol=1e-4)
+
+    def test_deconv_matches_tf_scatter_oracle(self):
+        """TF SAME conv*d_transpose == scatter-accumulate with TF's asymmetric padding.
+
+        TF SAME on the equivalent forward conv pads (pad_beg, pad_end) =
+        (pad_total//2, rest) with pad_total = k - s for o = n*s — the extra pad goes at
+        the END, unlike torch's symmetric padding.
+        """
+        rng = np.random.RandomState(2)
+        x = rng.rand(2, 4, 5, 3).astype(np.float32)
+        w = rng.rand(3, 3, 6, 3).astype(np.float32)  # (kh, kw, out, in) TF layout
+        s, k = 2, 3
+        ours = np.asarray(L.deconv(jnp.asarray(x), jnp.asarray(w), stride=s))
+        assert ours.shape == (2, 8, 10, 6)
+
+        B, n_h, n_w, cin = x.shape
+        o_h, o_w, cout = n_h * s, n_w * s, w.shape[2]
+        pad_beg = max(k - s, 0) // 2
+        ref = np.zeros((B, o_h, o_w, cout), np.float32)
+        for ih in range(n_h):
+            for iw in range(n_w):
+                for kh in range(k):
+                    for kw in range(k):
+                        p, q = ih * s + kh - pad_beg, iw * s + kw - pad_beg
+                        if 0 <= p < o_h and 0 <= q < o_w:
+                            ref[:, p, q, :] += x[:, ih, iw, :] @ w[kh, kw].T
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    def test_deconv3d_shape_and_linearity(self):
+        rng = np.random.RandomState(3)
+        x = rng.rand(1, 4, 4, 4, 2).astype(np.float32)
+        w = rng.rand(3, 3, 3, 5, 2).astype(np.float32)
+        out = np.asarray(L.deconv(jnp.asarray(x), jnp.asarray(w), stride=2))
+        assert out.shape == (1, 8, 8, 8, 5)
+        out2 = np.asarray(L.deconv(jnp.asarray(2 * x), jnp.asarray(w), stride=2))
+        np.testing.assert_allclose(out2, 2 * out, rtol=1e-5)
+
+    def test_avg_pool_same_excludes_padding(self):
+        x = jnp.ones((1, 5, 5, 1))
+        out = np.asarray(L.avg_pool_same(x, 4, 4))
+        # all-ones input: TF SAME avg pool (excluding padding) stays exactly 1
+        assert out.shape == (1, 2, 2, 1)
+        np.testing.assert_allclose(out, 1.0, atol=1e-6)
+
+    def test_fixed_pad_conv_stride2_shape(self):
+        x = jnp.ones((1, 8, 8, 2))
+        w = jnp.ones((3, 3, 2, 4))
+        out = L.fixed_pad_conv(x, w, stride=2)
+        assert out.shape == (1, 4, 4, 4)
+        out4 = L.fixed_pad_conv(jnp.ones((1, 8, 8, 2)), w, stride=4)
+        assert out4.shape == (1, 2, 2, 4)
+
+
+class TestBlocks:
+    def test_bottleneck_shapes(self):
+        p = init_bottleneck(KEY, "b", 8, 16)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 8).astype(np.float32))
+        assert bottleneck(p, x, stride=1).shape == (1, 8, 8, 16)
+        assert bottleneck(p, x, stride=2).shape == (1, 4, 4, 16)
+
+    def test_bottleneck_identity_shortcut(self):
+        p = init_bottleneck(KEY, "b", 8, 8)
+        assert "shortcut" not in p
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 8).astype(np.float32))
+        assert bottleneck(p, x).shape == (1, 8, 8, 8)
+
+    def test_res_block_naming(self):
+        p = init_res_block(KEY, "conv1_x", 4, 8, num_block=3)
+        assert set(p.keys()) == {"conv1_x_0", "conv1_x_1", "conv1_x"}
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 4).astype(np.float32))
+        out = res_block(p, x, "conv1_x", 3, stride=2)
+        assert out.shape == (1, 4, 4, 8)
+
+
+class TestFEM:
+    def test_fem_quarter_res_32ch(self):
+        p = init_fem(KEY, 32)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+        out = fem(p, x)
+        assert out.shape == (1, 16, 16, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_fem_shallow(self):
+        p = init_fem_shallow(KEY, 16)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32))
+        out = fem_shallow(p, x)
+        assert out.shape == (1, 16, 16, 16)
+
+
+class TestCRM:
+    def test_crm_shapes(self):
+        p = init_crm(KEY, in_channels=8, base_filter=4, prob_output=True)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 8, 8).astype(np.float32))
+        filtered, prob = crm(p, x)
+        assert filtered.shape == (1, 8, 8, 8, 4)
+        assert prob.shape == (1, 8, 8, 8)
+        assert np.isfinite(np.asarray(prob)).all()
+
+
+class TestAAM:
+    def test_attention_activation_matches_per_view_loop(self):
+        C, N = 4, 3
+        p = init_attention(KEY, "attention_aggregate", C)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 4, 4, 4, C, N).astype(np.float32))
+        out = np.asarray(attention_activation(p, x))
+
+        # oracle: reference semantics via explicit per-view convs
+        # (network.py:282-351) u_i - s_i + sum_j s_j
+        views = [x[..., i] for i in range(N)]
+        u = [np.asarray(L.conv(v, p["weight_unique"], relu=True)) for v in views]
+        s = [np.asarray(L.conv(v, p["weight_shared"], relu=True)) for v in views]
+        s_sum = np.sum(s, axis=0)
+        for i in range(N):
+            np.testing.assert_allclose(out[..., i], u[i] - s[i] + s_sum, rtol=2e-5, atol=1e-5)
+
+    def test_attention_aggregate_is_convex_combination(self):
+        C, N = 2, 4
+        p = init_attention(KEY, "attention_aggregate", C)
+        x = jnp.ones((1, 4, 4, 4, C, N))
+        out = np.asarray(attention_aggregate(p, x))
+        # identical views -> weighted sum of identical values = the value
+        np.testing.assert_allclose(out, 1.0, rtol=1e-5)
+
+
+class TestRefineNet:
+    def test_shapes(self):
+        p = init_refine_net(KEY, photo_ch=12, geo_ch=6, base_filter=4)
+        rng = np.random.RandomState(0)
+        B, D, h, w = 1, 8, 8, 8
+        cost_res, prob_res = refine_net(
+            p,
+            jnp.asarray(rng.rand(B, D, h, w, 12).astype(np.float32)),
+            jnp.asarray(rng.rand(B, D, h, w, 6).astype(np.float32)),
+            jnp.asarray(rng.rand(B, D, h, w, 1).astype(np.float32)),
+            jnp.asarray(rng.rand(B, D, h, w, 1).astype(np.float32)),
+        )
+        assert cost_res.shape == (B, D, h, w, 4)
+        assert prob_res.shape == (B, D, h, w)

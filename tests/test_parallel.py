@@ -1,0 +1,124 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from atvsnet_tpu.config import PipelineConfig, TrainConfig
+from atvsnet_tpu.models.atvsnet import multi_view_forward
+from atvsnet_tpu.models.train import TrainState, jit_sharded_train_step, make_optimizer, train_step
+from atvsnet_tpu.models.tvsnet import init_params
+from atvsnet_tpu.parallel.mesh import auto_mesh_shape, make_mesh
+from atvsnet_tpu.parallel.pipeline import jit_sharded_forward, multi_view_forward_spmd
+
+from tests._utils import synthetic_scene
+
+CFG = PipelineConfig(view_num=5, max_d=8, max_h=32, max_w=32)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    images, cams = synthetic_scene(view_num=5, H=32, W=32, D=8)
+    return jnp.asarray(images), jnp.asarray(cams)
+
+
+class TestMeshShapes:
+    def test_auto_mesh_shape(self):
+        assert auto_mesh_shape(8, 4) == (2, 4)
+        assert auto_mesh_shape(4, 4) == (1, 4)
+        assert auto_mesh_shape(2, 4) == (1, 2)
+        assert auto_mesh_shape(1, 4) == (1, 1)
+        assert auto_mesh_shape(8, 7) == (8, 1)
+
+
+class TestSPMDForward:
+    def test_matches_scan_pipeline_unsharded(self, params, scene):
+        images, cams = scene
+        out_scan = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, CFG))(params, images, cams)
+        out_vmap = jax.jit(lambda p, i, c: multi_view_forward_spmd(p, i, c, CFG))(params, images, cams)
+        np.testing.assert_allclose(
+            np.asarray(out_scan["depth"]), np.asarray(out_vmap["depth"]), rtol=5e-4, atol=5e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_scan["depth_views"]), np.asarray(out_vmap["depth_views"]),
+            rtol=5e-4, atol=5e-5,
+        )
+
+    def test_sharded_forward_matches_single_device(self, params, scene):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        images, cams = scene
+        images2 = jnp.concatenate([images, images], axis=0)
+        cams2 = jnp.concatenate([cams, cams], axis=0)
+        mesh = make_mesh(2, 4)
+        fwd = jit_sharded_forward(mesh, CFG)
+        out = fwd(params, images2, cams2)
+        single = jax.jit(lambda p, i, c: multi_view_forward_spmd(p, i, c, CFG))(params, images, cams)
+        got = np.asarray(out["depth"])
+        np.testing.assert_allclose(got[0], np.asarray(single["depth"])[0], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(got[1], got[0], rtol=1e-5, atol=1e-6)
+
+
+class TestTraining:
+    def test_train_step_updates_params_and_finite(self, params, scene):
+        images, cams = scene
+        tcfg = TrainConfig(learning_rate=1e-3)
+        tx = make_optimizer(tcfg)
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        rng = np.random.RandomState(0)
+        gt = (0.5 + 0.3 * rng.rand(1, 8, 8, 1)).astype(np.float32)
+        batch = {"images": images, "cams": cams, "depth_gt": jnp.asarray(gt)}
+        step = jax.jit(lambda s, b: train_step(s, b, CFG, tcfg, tx))
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == 1
+        # at least one weight moved
+        w0 = np.asarray(params["crm"]["conv_b0_1_0"]["w"])
+        w1 = np.asarray(state2.params["crm"]["conv_b0_1_0"]["w"])
+        assert not np.allclose(w0, w1)
+
+    def test_sharded_train_step_runs(self, scene):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(2, 4)
+        tcfg = TrainConfig()
+        tx = make_optimizer(tcfg)
+        params = init_params(jax.random.PRNGKey(1), CFG)
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        images, cams = scene
+        images2 = jnp.concatenate([images, images], axis=0)
+        cams2 = jnp.concatenate([cams, cams], axis=0)
+        rng = np.random.RandomState(1)
+        gt = (0.5 + 0.3 * rng.rand(2, 8, 8, 1)).astype(np.float32)
+        batch = {"images": images2, "cams": cams2, "depth_gt": jnp.asarray(gt)}
+        step = jit_sharded_train_step(mesh, CFG, tcfg, tx)
+        state2, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*[jnp.asarray(a) if isinstance(a, np.ndarray) else a for a in args])
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dryrun_multichip(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
