@@ -44,6 +44,10 @@ def run_eval_pc(
     import jax
     import jax.numpy as jnp
 
+    from atvsnet_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+
     from atvsnet_tpu.models.atvsnet import multi_view_forward, sweep_to_depth
     from atvsnet_tpu.models.tvsnet import init_params
     from atvsnet_tpu.utils.ckpt import load_params

@@ -56,6 +56,10 @@ def run_example(
     import jax
     import jax.numpy as jnp
 
+    from atvsnet_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+
     from atvsnet_tpu.models.atvsnet import multi_view_forward, sweep_to_depth
     from atvsnet_tpu.models.tvsnet import init_params, two_view_forward
     from atvsnet_tpu.utils.ckpt import load_params

@@ -82,6 +82,9 @@ def main() -> None:
 
     import jax
 
+    from atvsnet_tpu.utils.runtime import setup_jax
+
+    setup_jax()
     dev = jax.devices()[0]
     dm_per_s = measure(dev, args.dtype, args.iters)
 

@@ -1,0 +1,192 @@
+"""COLMAP and MVS-Synth data-path tests on fabricated miniature datasets."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from atvsnet_tpu.data.colmap import (
+    ColmapSparse,
+    colmap_cam_to_mvsnet,
+    colmap_sample_paths,
+    quaternion_to_rotation,
+    set_depth_range_from_depthmap,
+)
+from atvsnet_tpu.data.mvs_syn import MvsSynDataset
+
+from tests._utils import rotation
+
+
+class TestQuaternion:
+    def test_identity(self):
+        np.testing.assert_allclose(quaternion_to_rotation(1, 0, 0, 0), np.eye(3), atol=1e-12)
+
+    def test_matches_rodrigues(self):
+        angle = 0.4
+        # quaternion for rotation of `angle` about z
+        q = (np.cos(angle / 2), 0.0, 0.0, np.sin(angle / 2))
+        R = quaternion_to_rotation(*q)
+        expected = np.array(
+            [
+                [np.cos(angle), -np.sin(angle), 0],
+                [np.sin(angle), np.cos(angle), 0],
+                [0, 0, 1],
+            ]
+        )
+        np.testing.assert_allclose(R, expected, atol=1e-12)
+
+
+@pytest.fixture(scope="module")
+def colmap_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("colmap")
+    sparse = root / "sparse"
+    sparse.mkdir()
+    images_dir = root / "images"
+    images_dir.mkdir()
+
+    # 4 cameras on a small arc, looking at points around z=5
+    n_img, n_pts = 4, 60
+    rng = np.random.RandomState(0)
+    pts = np.concatenate(
+        [rng.uniform(-1, 1, (n_pts, 2)), rng.uniform(4, 6, (n_pts, 1))], axis=1
+    )
+
+    with open(sparse / "cameras.txt", "w") as f:
+        f.write("# Camera list\n#\n# Number of cameras: 1\n")
+        f.write("1 PINHOLE 64 48 50 50 32 24\n")
+
+    img_lines = [
+        "# Image list\n#\n#\n",
+        f"# Number of images: {n_img}, mean observations per image: 10\n",
+    ]
+    for i in range(n_img):
+        angle = 0.05 * i
+        R = rotation([0, 1, 0], angle)
+        t = np.array([0.2 * i, 0, 0])
+        # quaternion of R (w,x,y,z) for rotation about y
+        qw, qy = np.cos(angle / 2), -np.sin(angle / 2)
+        img_lines.append(
+            f"{i + 1} {qw} 0.0 {qy} 0.0 {t[0]} {t[1]} {t[2]} 1 img{i}.png\n"
+        )
+        # 2D observations: every image sees points i..i+40 (overlapping subsets)
+        vis = range(i * 5, i * 5 + 40)
+        obs = " ".join(f"{10.0 + j} {12.0 + j} {j + 1}" for j in vis)
+        img_lines.append(obs + "\n")
+    with open(sparse / "images.txt", "w") as f:
+        f.writelines(img_lines)
+
+    with open(sparse / "points3D.txt", "w") as f:
+        f.write("# 3D point list\n#\n")
+        f.write(f"# Number of points: {n_pts}, mean track length: 3\n")
+        for j in range(n_pts):
+            f.write(f"{j + 1} {pts[j, 0]} {pts[j, 1]} {pts[j, 2]} 128 128 128 0.5\n")
+
+    return str(sparse), str(images_dir)
+
+
+class TestColmap:
+    def test_parse_and_neighbors(self, colmap_dir):
+        sparse_path, image_path = colmap_dir
+        sp = ColmapSparse(sparse_path, image_path, num_neighbors=2)
+        assert len(sp.images) == 4
+        assert len(sp.cameras) == 1
+        assert len(sp.points) == 60
+        # neighbors ranked by shared points: image 2's best neighbors are 1 and 3
+        n = sp.images[2].neighbor_list
+        assert len(n) == 2
+        assert set(n) <= {1, 3, 4}
+
+    def test_disparity_range_plausible(self, colmap_dir):
+        sparse_path, image_path = colmap_dir
+        sp = ColmapSparse(sparse_path, image_path, num_neighbors=2)
+        img = sp.images[1]
+        # points live at z in [4, 6] -> disparity in [1/6, 1/4] before stretch
+        assert img.estimated_max_disparity == pytest.approx(0.25, rel=0.5)
+        assert img.estimated_min_disparity == pytest.approx(1 / 6, rel=0.5)
+        assert img.estimated_min_disparity < img.estimated_max_disparity
+
+    def test_cam_assembly(self, colmap_dir):
+        sparse_path, image_path = colmap_dir
+        sp = ColmapSparse(sparse_path, image_path, num_neighbors=2)
+        cam = colmap_cam_to_mvsnet(sp, 1, max_d=32)
+        assert cam.shape == (2, 4, 4)
+        assert cam[1][0][0] == 50
+        assert cam[1][3][1] > 0  # positive sweep interval
+        ids = colmap_sample_paths(sp, 1, view_num=3)
+        assert ids[0] == 1 and len(ids) == 3
+
+    def test_depth_range_from_depthmap(self):
+        cams = np.zeros((2, 2, 4, 4))
+        depth = np.linspace(1.0, 9.0, 100).reshape(10, 10)
+        out = set_depth_range_from_depthmap(cams, depth, max_d=32)
+        # 5th percentile of [1, 9] is ~1.40, divided by stretch 1.3 -> ~1.08
+        assert out[0][1, 3, 0] == pytest.approx(1.08, rel=0.05)
+        assert out[0][1, 3, 1] > 0
+        np.testing.assert_allclose(out[0][1, 3], out[1][1, 3])
+
+
+@pytest.fixture(scope="module")
+def mvs_syn_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mvs_syn")
+    n_seq, n_img = 2, 5
+    with open(root / "num_images.json", "w") as f:
+        json.dump([n_img] * n_seq, f)
+    for s in range(n_seq):
+        seq = root / f"{s:04d}"
+        (seq / "poses").mkdir(parents=True)
+        (seq / "images").mkdir()
+        (seq / "neighbors").mkdir()
+        for i in range(n_img):
+            R = rotation([0, 1, 0], 0.02 * i)
+            E = np.eye(4)
+            E[:3, :3] = R
+            E[:3, 3] = [0.1 * i, 0, 0]
+            with open(seq / "poses" / f"{i:04d}.json", "w") as f:
+                json.dump(
+                    {
+                        "extrinsic": E.tolist(),
+                        "f_x": 50.0, "f_y": 50.0, "c_x": 32.0, "c_y": 24.0,
+                    },
+                    f,
+                )
+        # seq 0: precomputed neighbors with scores; seq 1: no files (angle fallback)
+        if s == 0:
+            for i in range(n_img):
+                others = [j for j in range(n_img) if j != i]
+                with open(seq / "neighbors" / f"{i:04d}.json", "w") as f:
+                    json.dump(others, f)
+                with open(seq / "neighbors" / f"{i:04d}_score.json", "w") as f:
+                    json.dump([[0.9, 0.7, 0.5, 0.3], 0.8], f)
+    return str(root)
+
+
+class TestMvsSyn:
+    def test_index_and_neighbors(self, mvs_syn_dir):
+        ds = MvsSynDataset(mvs_syn_dir, num_neighbors=2, max_neighbor_range=4, seed=0)
+        assert len(ds.images) == 10
+        samples = list(ds.samples(view_num=3))
+        assert samples, "no valid samples generated"
+        for s in samples:
+            assert len(s) == 3
+            ref = ds.images[s[0]]
+            for nid in s[1:]:
+                assert ds.images[nid].seq_id == ref.seq_id
+                assert nid != s[0]
+
+    def test_score_threshold_decay_filters(self, mvs_syn_dir):
+        ds = MvsSynDataset(mvs_syn_dir, num_neighbors=2, max_neighbor_range=4, seed=0)
+        # seq 0 image 0: scores [0.9 .7 .5 .3] with thres 0.6 keeps >= 2 -> {0.9, 0.7}
+        ref = ds.images[ds.by_seq[(0, 0)]]
+        assert ref.is_valid
+        flat = {i for perm in ref.neighbor_permutations for i in perm}
+        # neighbors list for img 0 is [1,2,3,4]; scores>0.6 keeps img ids 1,2
+        allowed = {ds.by_seq[(0, 1)], ds.by_seq[(0, 2)]}
+        assert flat <= allowed
+
+    def test_cam_conversion(self, mvs_syn_dir):
+        ds = MvsSynDataset(mvs_syn_dir, num_neighbors=2, seed=0)
+        cam = ds.images[0].to_mvsnet_cam(max_d=16)
+        assert cam.shape == (2, 4, 4)
+        assert cam[1][0][0] == 50.0
+        assert cam[1][3][2] == 16

@@ -1,0 +1,86 @@
+"""End-to-end integration: fabricated ETH3D-format scene -> eval driver -> fusion -> PLY.
+
+Exercises the whole reproduce_pc.sh-equivalent chain (reference atvsnet/reproduce_pc.sh)
+on CPU at tiny shapes: pair.txt parsing, adaptive scale/crop, N-view inference, PFM/cam
+artifact emission, probability filtering and consistency fusion.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from atvsnet_tpu.data.cams import write_cam
+from atvsnet_tpu.fusion.fuse import fuse_scene
+from atvsnet_tpu.fusion.ply import read_ply
+
+from tests._utils import make_cam, rotation
+
+cv2 = pytest.importorskip("cv2")
+
+VIEW_NUM = 3
+H, W = 96, 128  # input images; cost volume at 24x32
+D = 8
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    scene = root / "eth3d" / "mini"
+    (scene / "images").mkdir(parents=True)
+    (scene / "cams").mkdir()
+
+    rng = np.random.RandomState(0)
+    # full-res intrinsics (load_mvs_sample scales by sample_scale itself)
+    K = np.array([[W / 2.0, 0, W / 2.0], [0, W / 2.0, H / 2.0], [0, 0, 1.0]])
+    pair_entries = []
+    for v in range(VIEW_NUM):
+        img = rng.randint(0, 255, (H, W, 3)).astype(np.uint8)
+        cv2.imwrite(str(scene / "images" / f"{v:08d}.jpg"), img)
+        R = rotation([0, 1, 0.05], 0.03 * v)
+        t = np.array([0.1 * v, 0.0, 0.0])
+        cam = make_cam(K, R, t, depth_start=2.0, depth_interval=0.5, num_d=D)
+        write_cam(str(scene / "cams" / f"{v:08d}_cam.txt"), cam)
+        others = [str(o) for o in range(VIEW_NUM) if o != v]
+        pair_entries.append(
+            f"{v}\n{len(others)} " + " ".join(f"{o} 10.0" for o in others) + "\n"
+        )
+    with open(scene / "pair.txt", "w") as f:
+        f.write(f"{VIEW_NUM}\n" + "".join(pair_entries))
+    return str(root)
+
+
+def test_eval_and_fusion_end_to_end(scene_dir, tmp_path):
+    from atvsnet_tpu.cli.eval_pointcloud import run_eval_pc
+
+    savepath = str(tmp_path / "eval_out")
+    run_eval_pc(
+        scene_dir,
+        savepath,
+        scenes=["mini"],
+        view_num=VIEW_NUM,
+        max_d=D,
+        max_w=W,
+        max_h=H,
+    )
+
+    out_folder = os.path.join(savepath, "mini", "depths_atvsnet")
+    files = sorted(os.listdir(out_folder))
+    for v in range(VIEW_NUM):
+        assert f"{v:08d}.pfm" in files
+        assert f"{v:08d}_prob.pfm" in files
+        assert f"{v:08d}.jpg" in files
+        assert f"{v:08d}.txt" in files
+    assert os.path.exists(os.path.join(savepath, "mini", "zz_runtime.txt"))
+
+    # fusion: random-weight depths are mostly inconsistent; force prob_threshold=0 and
+    # a loose disparity threshold so some points survive and the chain completes
+    ply = fuse_scene(
+        os.path.join(savepath, "mini"),
+        prob_threshold=0.0,
+        disp_threshold=10.0,
+        num_consistent=1,
+    )
+    points, colors = read_ply(ply)
+    assert points.shape[0] > 0
+    assert colors.shape == points.shape
