@@ -87,9 +87,9 @@ def error_dict(errors: np.ndarray) -> Dict[str, float]:
     return {n: float(v) for n, v in zip(names, errors)}
 
 
-def save_error_report(path: str, errors: np.ndarray) -> None:
-    """Persist metrics: .xlsx in the reference's layout when xlsxwriter is present
-    (example.py:199-213), plus a .json sidecar always."""
+def save_error_report(path: str, errors: np.ndarray, sheet_name: str = "") -> None:
+    """Persist metrics: .xlsx in the reference's layout (example.py:199-213) plus a
+    .json sidecar. Uses xlsxwriter when installed, else the bundled minimal writer."""
     import json
     import os
 
@@ -100,10 +100,13 @@ def save_error_report(path: str, errors: np.ndarray) -> None:
 
     try:
         import xlsxwriter
+
+        Workbook = xlsxwriter.Workbook
     except ImportError:
-        return
-    workbook = xlsxwriter.Workbook(base + ".xlsx")
-    worksheet = workbook.add_worksheet()
+        from atvsnet_tpu.utils.xlsx import Workbook
+
+    workbook = Workbook(base + ".xlsx")
+    worksheet = workbook.add_worksheet(sheet_name or "Sheet1")
     n_err = len(ERR_METRICS)
     worksheet.write(0, 1, "err")
     for i, name in enumerate(ERR_METRICS):

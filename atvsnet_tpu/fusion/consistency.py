@@ -159,21 +159,20 @@ def fuse_depth_maps(
     images_j = jnp.asarray(images, jnp.float32)
     P_j, Mi_j, C_j, f_j = map(jnp.asarray, (P, M_inv, centers, f))
 
+    from atvsnet_tpu.native import compact_points
+
     pts_out, rgb_out = [], []
     for r in range(V):
         emit, X, rgb = _fuse_one_ref(
             jnp.asarray(r), depths_j, images_j, P_j, Mi_j, C_j, f_j,
             disp_thresh=float(disp_thresh), num_consistent=int(num_consistent),
         )
-        emit = np.asarray(emit)
-        if emit.any():
-            pts_out.append(np.asarray(X)[emit])
-            rgb_out.append(np.asarray(rgb)[emit])
+        # host-side compaction of the fixed-size mask output (C++/OpenMP when built;
+        # non-finite coordinates zeroed per displayUtils.h:113-118)
+        pts, cols = compact_points(np.asarray(emit), np.asarray(X), np.asarray(rgb))
+        if pts.shape[0]:
+            pts_out.append(pts)
+            rgb_out.append(cols)
     if not pts_out:
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
-    points = np.concatenate(pts_out).astype(np.float32)
-    colors = np.clip(np.concatenate(rgb_out), 0, 255).astype(np.uint8)
-    # non-finite coordinates are zeroed, matching displayUtils.h:113-118
-    bad = ~np.isfinite(points).all(axis=1)
-    points[bad] = 0.0
-    return points, colors
+    return np.concatenate(pts_out), np.concatenate(rgb_out)

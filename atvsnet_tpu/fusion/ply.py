@@ -13,6 +13,10 @@ def write_ply(path: str, points: np.ndarray, colors: np.ndarray) -> None:
     points = np.asarray(points, "<f4")
     colors = np.asarray(colors, np.uint8)
     assert points.shape == colors.shape and points.shape[1] == 3
+    from atvsnet_tpu.native import write_ply_native
+
+    if write_ply_native(path, points, colors):
+        return
     n = points.shape[0]
     header = (
         "ply\n"

@@ -109,18 +109,23 @@ def tvsnet_base(
     shared between directions via reuse=tf.AUTO_REUSE there, literally here.
     """
     D = cfg.max_d
-    cost, _ = build_cost_volume(
-        ref_feature, view_feature, ref_cam, view_cam, cfg, depth_start, depth_interval
-    )
-    filtered_cost, prob = crm(params["crm"], cost, eps=cfg.bn_eps)
+
+    def sweep(ref_f, view_f, ref_c, view_c):
+        homographies = get_homographies(
+            ref_c, view_c, D, depth_start, depth_interval, cfg.inverse_depth
+        )
+        return plane_sweep_warp(view_f, homographies)
+
+    # structured cost volume: only the warped half is materialized; the D-constant
+    # tiled-reference half enters the CRM input convs as 2D convs (layers.conv3d_mixed)
+    warped = sweep(ref_feature, view_feature, ref_cam, view_cam)
+    filtered_cost, prob = crm(params["crm"], (warped, ref_feature), eps=cfg.bn_eps)
     depth = prob2depth(prob, D, depth_start, depth_interval)
 
     depth_view = None
     if siamese:
-        cost_v, _ = build_cost_volume(
-            view_feature, ref_feature, view_cam, ref_cam, cfg, depth_start, depth_interval
-        )
-        _, prob_view = crm(params["crm"], cost_v, eps=cfg.bn_eps)
+        warped_v = sweep(view_feature, ref_feature, view_cam, ref_cam)
+        _, prob_view = crm(params["crm"], (warped_v, view_feature), eps=cfg.bn_eps)
         depth_view = prob2depth(prob_view, D, depth_start, depth_interval)
 
     return PairOutputs(depth, prob, filtered_cost, depth_view)
@@ -166,22 +171,20 @@ def refinement(
     denom = (depth_interval.astype(jnp.float32) * D)[:, None, None, None, None]
     geo_ref = jnp.abs(depth_ref[:, None] - sweep) / denom      # (B, D, h, w, 1)
     warped_depth, mask_geo = plane_sweep_warp(depth_view_trans, homographies, output_mask=True)
-    # 1-channel error broadcast into F masked channels (reference tiles the mask to
-    # chan_num at model.py:296 and relies on broadcasting).
+    # the reference broadcasts this 1-channel error into F masked channels
+    # (model.py:295-296); structurally those F channels are identical, so it stays
+    # 1-channel here and the refine net collapses its kernel over them (refine_net)
     geo_view = jnp.abs(warped_depth - sweep) / denom * mask_geo.astype(jnp.float32)
-    geo_view = jnp.broadcast_to(geo_view, (B, D, h, w, F)).astype(jnp.float32)
-    cost_vol_geo = jnp.concatenate([geo_ref, geo_view], axis=-1)  # (B, D, h, w, 1+F)
 
     # --- per-pixel photo/geo error at the initial depth (model.py:306-316) ---
+    # D-constant terms stay 2D; the refine net consumes them via conv3d_mixed
     warped_f, mask_p = warp_by_depth(shallow_view, ref_cam, view_cam, depth_ref, inv, output_mask=True)
-    photo_err = jnp.abs(warped_f - shallow_ref) * mask_p.astype(shallow_ref.dtype)
-    photo_err = jnp.broadcast_to(photo_err[:, None], (B, D, h, w, F))
+    photo_err = jnp.abs(warped_f - shallow_ref) * mask_p.astype(shallow_ref.dtype)  # (B, h, w, F)
 
     warped_d, mask_g = warp_by_depth(
         depth_view_trans, ref_cam, view_cam, depth_ref, inv, method="nearest", output_mask=True
     )
-    geo_err = jnp.abs(warped_d - depth_ref) * mask_g.astype(jnp.float32)
-    geo_err = jnp.broadcast_to(geo_err[:, None], (B, D, h, w, 1))
+    geo_err = jnp.abs(warped_d - depth_ref) * mask_g.astype(jnp.float32)  # (B, h, w, 1)
 
     # --- visual hull over the pair's initial depths (model.py:321-324) ---
     pair_depths = jnp.stack([depth_ref[..., 0], depth_view[..., 0]], axis=1)  # (B, 2, h, w)
@@ -190,15 +193,16 @@ def refinement(
         pair_depths, pair_cams, D, depth_start, depth_interval, ref_id=0, inverse_depth=inv
     )
 
-    # --- refinement net (model.py:329-339) ---
-    ref_cost_volume = jnp.broadcast_to(shallow_ref[:, None], (B, D, h, w, F))
-    ref_geo_volume = jnp.broadcast_to(depth_ref[:, None], (B, D, h, w, 1))
+    # --- refinement net (model.py:329-339), structured groups ---
     dt = cfg.dtype
-    photo_group = jnp.concatenate(
-        [cost_vol_photo.astype(dt), photo_err.astype(dt), ref_cost_volume.astype(dt)], axis=-1
+    photo_group = (
+        cost_vol_photo.astype(dt),
+        jnp.concatenate([photo_err.astype(dt), shallow_ref.astype(dt)], axis=-1),
     )
-    geo_group = jnp.concatenate(
-        [cost_vol_geo.astype(dt), geo_err.astype(dt), ref_geo_volume.astype(dt)], axis=-1
+    geo_group = (
+        jnp.concatenate([geo_ref.astype(dt), geo_view.astype(dt)], axis=-1),
+        jnp.concatenate([geo_err.astype(dt), depth_ref.astype(dt)], axis=-1),
+        F,
     )
     return refine_net(
         params["refine"],

@@ -57,12 +57,17 @@ def init_crm(key, in_channels: int, base_filter: int = 8, prob_output: bool = Tr
     return p
 
 
-def crm(params: dict, cost_volume: jnp.ndarray, eps: float = 1e-3):
+def crm(params: dict, cost_volume, eps: float = 1e-3):
     """(B, D, h, w, C) -> (filtered_cost (B,D,h,w,f)[, prob (B,D,h,w)]).
 
     Returns the 'conv_b2_6_1' activation (the 8-channel filtered cost volume fed to
     attention aggregation, reference model.py:218) and, when the net has the prob head,
     the squeezed 1-channel regularized cost ('conv_b2_6_2', atvsnet.py:192).
+
+    `cost_volume` may be a `(warped_volume, ref_feature_2d)` tuple: the reference
+    builds cost volumes as concat(tile_D(ref_feature), warped) (model.py:186,195); the
+    tiled half is D-constant, so its contribution to the two input convs is computed as
+    2D convs (layers.conv3d_mixed) instead of materializing a (B, D, h, w, 2F) volume.
     """
 
     def cbn(name, x, stride=1, relu=True):
@@ -72,10 +77,25 @@ def crm(params: dict, cost_volume: jnp.ndarray, eps: float = 1e-3):
         return L.deconv_bn(params[name], x, stride=2, eps=eps)
 
     # --- block 0 ---
-    b0_1_0 = cbn("conv_b0_1_0", cost_volume, 2)
+    if isinstance(cost_volume, tuple):
+        warped, ref2d = cost_volume
+        # kernel in-channel order is [ref_tile, warped] (reference concat order)
+        Cc = ref2d.shape[-1]
+
+        def mixed(name, stride):
+            w = params[name]["w"]
+            reordered = jnp.concatenate([w[..., Cc:, :], w[..., :Cc, :]], axis=-2)
+            y = L.conv3d_mixed(reordered, warped, ref2d, stride=stride)
+            y = L.batch_stat_norm(y, eps=eps)
+            return jnp.maximum(y, 0)
+
+        b0_1_0 = mixed("conv_b0_1_0", 2)
+        b0_0_1 = mixed("conv_b0_0_1", 1)
+    else:
+        b0_1_0 = cbn("conv_b0_1_0", cost_volume, 2)
+        b0_0_1 = cbn("conv_b0_0_1", cost_volume)
     b0_2_0 = cbn("conv_b0_2_0", b0_1_0, 2)
     b0_3_0 = cbn("conv_b0_3_0", b0_2_0, 2)
-    b0_0_1 = cbn("conv_b0_0_1", cost_volume)
     b0_1_1 = cbn("conv_b0_1_1", b0_1_0)
     b0_2_1 = cbn("conv_b0_2_1", b0_2_0)
     b0_3_1 = cbn("conv_b0_3_1", b0_3_0)

@@ -181,6 +181,62 @@ def max_pool_same(x: jnp.ndarray, pool: int, stride: int) -> jnp.ndarray:
     return lax.reduce_window(x, -jnp.inf, lax.max, window, strides, "SAME")
 
 
+def conv3d_mixed(
+    w: jnp.ndarray,
+    varying: jnp.ndarray,
+    const2d: jnp.ndarray,
+    stride: int = 1,
+) -> jnp.ndarray:
+    """conv3d over concat([varying, broadcast_D(const2d)], -1) WITHOUT materializing
+    the broadcast: the D-constant channels reduce to 2D convs with the kernel summed
+    over its depth taps (exact, including TF-SAME zero-padding edge effects on D).
+
+    w: (3, kh, kw, Cv + Cc, Cout) — depth kernel size must be 3 (the only size the
+    model uses); varying: (B, D, h, w, Cv); const2d: (B, h, w, Cc).
+    Saves both the HBM write+read of the broadcast volume and half the MXU work of the
+    reference formulation (cf. the ref-feature tiling at reference model.py:186,329-330).
+    """
+    assert w.shape[0] == 3, "depth kernel must be 3"
+    Cv = varying.shape[-1]
+    D = varying.shape[1]
+    wv = w[..., :Cv, :]
+    wc = w[..., Cv:, :]
+
+    y = conv(varying, wv, stride=stride)  # (B, D', h', w', Cout)
+
+    # 2D kernels for interior/edge depth positions
+    def conv2(kernel2d):
+        return conv(const2d, kernel2d, stride=stride)  # (B, h', w', Cout)
+
+    mid = conv2(wc[0] + wc[1] + wc[2])
+    if stride == 1:
+        # SAME pad (1,1) on D: d=0 misses tap kd=0, d=D-1 misses tap kd=2
+        top = conv2(wc[1] + wc[2])
+        bot = conv2(wc[0] + wc[1])
+        parts = [top[:, None], jnp.broadcast_to(mid[:, None], (mid.shape[0], D - 2) + mid.shape[1:]), bot[:, None]]
+    else:
+        assert stride == 2 and D % 2 == 0
+        # SAME pad (0,1) on D: only the last output (taps 2od..2od+2 with 2od+2 == D)
+        # misses tap kd=2
+        Do = D // 2
+        bot = conv2(wc[0] + wc[1])
+        parts = [jnp.broadcast_to(mid[:, None], (mid.shape[0], Do - 1) + mid.shape[1:]), bot[:, None]]
+    return y + jnp.concatenate(parts, axis=1)
+
+
+def conv3d_mixed_bn(
+    params: dict,
+    varying: jnp.ndarray,
+    const2d: jnp.ndarray,
+    stride: int = 1,
+    relu: bool = True,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    y = conv3d_mixed(params["w"], varying, const2d, stride=stride)
+    y = batch_stat_norm(y, eps=eps)
+    return jnp.maximum(y, 0) if relu else y
+
+
 # ---------------------------------------------------------------------------
 # parameter constructors
 # ---------------------------------------------------------------------------

@@ -44,13 +44,22 @@ def init_refine_net(
 
 def refine_net(
     params: dict,
-    photo_group: jnp.ndarray,
-    geo_group: jnp.ndarray,
+    photo_group,
+    geo_group,
     prob_vol: jnp.ndarray,
     vis_hull: jnp.ndarray,
     eps: float = 1e-3,
 ):
-    """All inputs (B, D, h, w, *) -> (cost_residual (B,D,h,w,f), prob_residual (B,D,h,w))."""
+    """All inputs (B, D, h, w, *) -> (cost_residual (B,D,h,w,f), prob_residual (B,D,h,w)).
+
+    Structured (broadcast-free) inputs, exact equivalents of the reference concats at
+    model.py:329-337:
+      photo_group as (varying (B,D,h,w,F), const2d (B,h,w,2F)) — the per-pixel photo
+        error and the tiled reference feature are D-constant (model.py:311,329);
+      geo_group as (varying (B,D,h,w,2), const2d (B,h,w,2), F) — the geometric view
+        term is one channel broadcast to F (model.py:295-296), so the kernel collapses
+        over those F in-channels; geo error and the reference depth are D-constant.
+    """
 
     def cbn(name, x, stride=1):
         return L.conv_bn(params[f"{_P}{name}"], x, stride=stride, eps=eps)
@@ -58,10 +67,34 @@ def refine_net(
     def dbn(name, x):
         return L.deconv_bn(params[f"{_P}{name}"], x, stride=2, eps=eps)
 
+    if isinstance(photo_group, tuple):
+        vary, const2d = photo_group
+        photo = L.conv3d_mixed_bn(
+            params[f"{_P}_photo_3dconv"], vary, const2d, stride=1, eps=eps
+        )
+    else:
+        photo = cbn("_photo_3dconv", photo_group)
+
+    if isinstance(geo_group, tuple):
+        vary, const2d, F = geo_group
+        w = params[f"{_P}_geo_3dconv"]["w"]  # in-channels [geo_ref(1), geo_view(F), geo_err(1), ref_depth(1)]
+        w_eff = jnp.concatenate(
+            [
+                w[..., 0:1, :],
+                jnp.sum(w[..., 1 : 1 + F, :], axis=-2, keepdims=True),
+                w[..., 1 + F :, :],
+            ],
+            axis=-2,
+        )
+        y = L.conv3d_mixed(w_eff, vary, const2d, stride=1)
+        geo = jnp.maximum(L.batch_stat_norm(y, eps=eps), 0)
+    else:
+        geo = cbn("_geo_3dconv", geo_group)
+
     x = jnp.concatenate(
         [
-            cbn("_photo_3dconv", photo_group),
-            cbn("_geo_3dconv", geo_group),
+            photo,
+            geo,
             cbn("_prob_3dconv", prob_vol),
             cbn("_vishull_3dconv", vis_hull),
         ],

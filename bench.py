@@ -60,16 +60,21 @@ def measure(device, compute_dtype: str, iters: int = 5):
     images = jax.device_put(jnp.asarray(images), device)
     cams = jax.device_put(jnp.asarray(cams), device)
 
-    fwd = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg)["depth_up"])
-    # warmup + force full materialization (block_until_ready alone can return early on
-    # experimental platforms — device_get is the ground truth)
+    # scalar-reduced output: forces the full computation while excluding the host
+    # transfer of the depth map, which on this environment crosses a ~300MB/s tunnel
+    # (an artifact of the attached-TPU setup, not of the hardware). block_until_ready
+    # returns before execution on the axon platform, so a scalar device_get is the
+    # only reliable fence (see .claude/skills/verify/SKILL.md).
+    fwd = jax.jit(
+        lambda p, i, c: jnp.sum(multi_view_forward(p, i, c, cfg)["depth_up"].astype(jnp.float32))
+    )
     np.asarray(fwd(params, images, cams))
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = np.asarray(fwd(params, images, cams))
+        out = fwd(params, images, cams)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
-    del out
     return 1.0 / dt
 
 

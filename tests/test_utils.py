@@ -1,0 +1,97 @@
+"""Utility tests: checkpoint roundtrip + TF name map, xlsx writer, stage timer."""
+
+import os
+import zipfile
+
+import numpy as np
+import jax
+import pytest
+
+from atvsnet_tpu.config import PipelineConfig
+from atvsnet_tpu.models.tvsnet import init_params
+from atvsnet_tpu.utils.ckpt import load_params, load_tf_npz, save_params, tf_name_map, _flatten
+from atvsnet_tpu.utils.profiling import StageTimer
+from atvsnet_tpu.utils.xlsx import Workbook
+
+CFG = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+class TestCkpt:
+    def test_save_load_roundtrip(self, params, tmp_path):
+        p = str(tmp_path / "model.npz")
+        save_params(p, params)
+        loaded = load_params(p)
+        flat_a = _flatten(params)
+        flat_b = _flatten(loaded)
+        assert set(flat_a) == set(flat_b)
+        for k in flat_a:
+            np.testing.assert_array_equal(flat_a[k], flat_b[k])
+
+    def test_tf_name_map_covers_every_leaf(self, params):
+        mapping = tf_name_map(params)
+        flat = _flatten(params)
+        assert set(mapping.values()) == set(flat.keys())
+        # spot-check canonical names (reference scope discipline, network.py:196,313)
+        assert "conv0_0/conv2d/kernel" in mapping
+        assert "conv_b0_1_0/conv3d/kernel" in mapping
+        assert "conv_b0_4_0/conv3d_transpose/kernel" in mapping
+        assert "fusion1/kernel" in mapping
+        assert "conv0_x_0/conv1/weights" in mapping
+        assert "conv0_x_0/conv1/biases" in mapping
+        assert "conv0_x_0/preact/beta" in mapping
+        assert "attention_aggregate/attention_activation/weight_unique" in mapping
+        assert "attention_aggregate_refine/attention_activation/weight_shared" in mapping
+        assert "global_refine_3dconv4_0/conv3d_transpose/kernel" in mapping
+        assert "global_refined_cost_vol/kernel" in mapping
+
+    def test_load_tf_npz_renames(self, params, tmp_path):
+        mapping = tf_name_map(params)
+        flat = _flatten(params)
+        tf_dump = {tf: np.ones_like(flat[path]) for tf, path in mapping.items()}
+        p = str(tmp_path / "tf.npz")
+        np.savez(p, **tf_dump)
+        loaded = load_tf_npz(params, p, strict=True)
+        for v in _flatten(loaded).values():
+            np.testing.assert_array_equal(v, np.ones_like(v))
+
+
+class TestXlsx:
+    def test_writes_valid_zip_with_values(self, tmp_path):
+        p = str(tmp_path / "x.xlsx")
+        wb = Workbook(p)
+        ws = wb.add_worksheet("5_view")
+        ws.write(0, 1, "err")
+        ws.write(1, 0, "mae")
+        ws.write(1, 1, 0.1966)
+        wb.close()
+        with zipfile.ZipFile(p) as z:
+            names = z.namelist()
+            assert "xl/worksheets/sheet1.xml" in names
+            xml = z.read("xl/worksheets/sheet1.xml").decode()
+            assert "mae" in xml and "0.1966" in xml
+            assert "5_view" in z.read("xl/workbook.xml").decode()
+
+    def test_error_report(self, tmp_path):
+        from atvsnet_tpu.eval.errors import save_error_report
+
+        errors = np.arange(14, dtype=np.float32)
+        save_error_report(str(tmp_path / "error.xlsx"), errors)
+        assert os.path.exists(tmp_path / "error.xlsx")
+        assert os.path.exists(tmp_path / "error.json")
+
+
+class TestStageTimer:
+    def test_accumulates(self):
+        t = StageTimer()
+        with t.stage("a"):
+            pass
+        with t.stage("a"):
+            pass
+        s = t.summary()
+        assert s["a"]["count"] == 2
+        assert s["a"]["total_s"] >= 0

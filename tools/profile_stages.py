@@ -1,0 +1,114 @@
+"""Stage-level timing breakdown of the A-TVSNet pipeline on the attached device.
+
+Usage: python tools/profile_stages.py [--dtype bfloat16] [--iters 3]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from atvsnet_tpu.utils.runtime import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from atvsnet_tpu.config import PipelineConfig  # noqa: E402
+from atvsnet_tpu.geometry.homography import get_homographies  # noqa: E402
+from atvsnet_tpu.geometry.warp import plane_sweep_warp  # noqa: E402
+from atvsnet_tpu.geometry.depth_regression import prob2depth_upsample  # noqa: E402
+from atvsnet_tpu.models.tvsnet import (  # noqa: E402
+    aam_aggregate,
+    build_cost_volume,
+    extract_features,
+    init_params,
+    refinement,
+    tvsnet_base,
+)
+from atvsnet_tpu.nn.crm import crm  # noqa: E402
+from tests._utils import synthetic_scene  # noqa: E402
+
+H, W, D, N = 480, 896, 128, 5
+
+
+def bench(name, fn, *args, iters=3):
+    out = jax.block_until_ready(fn(*args))
+    del out
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jax.block_until_ready(fn(*args))
+    dt = (time.perf_counter() - t0) / iters
+    # force materialization of one leaf to defeat lazy platforms
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf)
+    print(f"{name:34s} {dt * 1e3:9.1f} ms")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    cfg = PipelineConfig(view_num=N, max_d=D, max_h=H, max_w=W, compute_dtype=args.dtype)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images, cams = synthetic_scene(view_num=N, H=H, W=W, D=D)
+    images = jnp.asarray(images)
+    cams = jnp.asarray(cams)
+    ds = cams[:, 0, 1, 3, 0]
+    di = cams[:, 0, 1, 3, 1]
+
+    feats = jax.jit(lambda p, i: extract_features(p, i, cfg))(params, images)
+    shallow = jax.jit(lambda p, i: extract_features(p, i, cfg, shallow=True))(params, images)
+    feats = jax.block_until_ready(feats)
+    shallow = jax.block_until_ready(shallow)
+
+    bench("features (N=5 FEM)", jax.jit(lambda p, i: extract_features(p, i, cfg)), params, images, iters=args.iters)
+    bench("shallow features", jax.jit(lambda p, i: extract_features(p, i, cfg, shallow=True)), params, images, iters=args.iters)
+
+    f0, f1 = feats[:, 0], feats[:, 1]
+    c0, c1 = cams[:, 0], cams[:, 1]
+
+    homos = jax.jit(lambda a, b: get_homographies(a, b, D, ds, di, True))(c0, c1)
+    bench("homographies (D=128)", jax.jit(lambda a, b: get_homographies(a, b, D, ds, di, True)), c0, c1, iters=args.iters)
+    bench("plane_sweep_warp (1 view feat)", jax.jit(plane_sweep_warp), f1, homos, iters=args.iters)
+
+    cost, _ = jax.jit(lambda: build_cost_volume(f0, f1, c0, c1, cfg, ds, di))()
+    cost = jax.block_until_ready(cost)
+    bench("build_cost_volume", jax.jit(lambda: build_cost_volume(f0, f1, c0, c1, cfg, ds, di)[0]), iters=args.iters)
+    bench("CRM (one pass)", jax.jit(lambda p, c: crm(p["crm"], c, eps=cfg.bn_eps)), params, cost, iters=args.iters)
+    bench("tvsnet_base (pair, siamese)", jax.jit(lambda p: tvsnet_base(p, f0, f1, c0, c1, cfg, ds, di, True)), params, iters=args.iters)
+
+    base = jax.jit(lambda p: tvsnet_base(p, f0, f1, c0, c1, cfg, ds, di, True))(params)
+    base = jax.block_until_ready(base)
+    stacked = jnp.stack([base.filtered_cost] * (N - 1), axis=-1)
+    bench("AAM1 attention (P=4)", jax.jit(lambda p, x: aam_aggregate(p, x, 1)), params, stacked, iters=args.iters)
+
+    bench(
+        "refinement (one pair)",
+        jax.jit(
+            lambda p: refinement(
+                p, base.depth, base.depth_view, c0, c1,
+                shallow[:, 0], shallow[:, 1], base.prob_volume, cfg, ds, di,
+            )
+        ),
+        params,
+        iters=args.iters,
+    )
+    bench(
+        "prob2depth_upsample",
+        jax.jit(lambda pv: prob2depth_upsample(pv, D, ds, di)),
+        base.prob_volume,
+        iters=args.iters,
+    )
+
+
+if __name__ == "__main__":
+    main()
