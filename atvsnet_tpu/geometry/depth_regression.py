@@ -118,6 +118,14 @@ def prob2depth(
     return depth
 
 
+def _row_tile(total: int, target: int = 128) -> int:
+    """Largest divisor of `total` that is <= target (>=1)."""
+    for t in range(min(target, total), 0, -1):
+        if total % t == 0:
+            return t
+    return 1
+
+
 def prob2depth_upsample(
     prob_volume: jnp.ndarray,
     depth_num: int,
@@ -129,12 +137,34 @@ def prob2depth_upsample(
     """Soft-argmin at native and up_scale-upsampled resolution.
 
     Reference: atvsnet/model.py:113-129. Returns (depth, depth_up[, prob, prob_up]).
+
+    The reference materializes the whole upsampled probability volume
+    (model.py:121 — 3.4GB fp32 at eval size); here the H-resize + soft-argmin runs in
+    output-row tiles (the W-resize is shared), bounding the transient to one tile.
     """
-    prob_volume_up = upsample_prob_vol(prob_volume, up_scale)
+    B, D, h, w = prob_volume.shape
+    Hout, Wout = h * up_scale, w * up_scale
+    hi = jax.lax.Precision.HIGHEST
+
+    pv = prob_volume.astype(jnp.float32)
+    Aw = jnp.asarray(_align_corners_matrix(Wout, w), dtype=jnp.float32)
+    pv_w = jnp.einsum("qw,bdhw->bdhq", Aw, pv, precision=hi)  # (B, D, h, Wout)
+
+    Ah = jnp.asarray(_align_corners_matrix(Hout, h), dtype=jnp.float32)
+    tile = _row_tile(Hout)
+    Ah_tiles = Ah.reshape(Hout // tile, tile, h)
+
+    def body(A_tile):
+        pv_t = jnp.einsum("th,bdhq->bdtq", A_tile, pv_w, precision=hi)  # (B, D, tile, Wout)
+        return prob2depth(pv_t, depth_num, depth_start, depth_interval, out_prob_map)
+
+    outs = jax.lax.map(body, Ah_tiles)
+
+    def _stitch(x):  # (T, B, tile, Wout, 1) -> (B, Hout, Wout, 1)
+        return jnp.moveaxis(x, 0, 1).reshape(B, Hout, Wout, 1)
+
     if out_prob_map:
         depth, prob = prob2depth(prob_volume, depth_num, depth_start, depth_interval, True)
-        depth_up, prob_up = prob2depth(prob_volume_up, depth_num, depth_start, depth_interval, True)
-        return depth, depth_up, prob, prob_up
+        return depth, _stitch(outs[0]), prob, _stitch(outs[1])
     depth = prob2depth(prob_volume, depth_num, depth_start, depth_interval)
-    depth_up = prob2depth(prob_volume_up, depth_num, depth_start, depth_interval)
-    return depth, depth_up
+    return depth, _stitch(outs)

@@ -38,12 +38,27 @@ def _gather_pixels(flat_image: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray, wi
     return jnp.take_along_axis(flat_image, idx[..., None], axis=1)
 
 
+def _pack_corners(image: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, 4C) with [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)].
+
+    Lets bilinear sampling issue ONE gather row per output pixel instead of four —
+    TPU gathers are descriptor-bound, so this is ~4x on the plane-sweep hot path.
+    Edge rows/columns are clamp-padded; they are only read by invalid samples whose
+    bilinear weights are exactly zero.
+    """
+    right = jnp.concatenate([image[:, :, 1:], image[:, :, -1:]], axis=2)
+    down = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    return jnp.concatenate([image, right, down, down_right], axis=-1)
+
+
 def interpolate(
     image: jnp.ndarray,
     x: jnp.ndarray,
     y: jnp.ndarray,
     method: str = "bilinear",
     output_mask: bool = False,
+    packed: bool = True,
 ):
     """Sample `image` (B, H, W, C) at texture coords x, y (B, P) -> (B, P, C).
 
@@ -78,30 +93,35 @@ def interpolate(
     x1 = jnp.where(valid, x0 + 1, 0)
     y1 = jnp.where(valid, y0 + 1, 0)
     x0 = jnp.clip(x0, 0, W - 1)
-    x1c = jnp.clip(x1, 0, W - 1)
     y0 = jnp.clip(y0, 0, H - 1)
-    y1c = jnp.clip(y1, 0, H - 1)
-
-    va = _gather_pixels(flat, y0, x0, W)
-    vb = _gather_pixels(flat, y0, x1c, W)
-    vc = _gather_pixels(flat, y1c, x0, W)
-    vd = _gather_pixels(flat, y1c, x1c, W)
 
     x0f = x0.astype(jnp.float32)
     x1f = x1.astype(jnp.float32)
     y0f = y0.astype(jnp.float32)
     y1f = y1.astype(jnp.float32)
-    wa = ((y1f - y) * (x1f - x))[..., None]
-    wb = ((y1f - y) * (x - x0f))[..., None]
-    wc = ((y - y0f) * (x1f - x))[..., None]
-    wd = ((y - y0f) * (x - x0f))[..., None]
+    wa = ((y1f - y) * (x1f - x))[..., None].astype(image.dtype)
+    wb = ((y1f - y) * (x - x0f))[..., None].astype(image.dtype)
+    wc = ((y - y0f) * (x1f - x))[..., None].astype(image.dtype)
+    wd = ((y - y0f) * (x - x0f))[..., None].astype(image.dtype)
 
-    out = (
-        wa.astype(image.dtype) * va
-        + wb.astype(image.dtype) * vb
-        + wc.astype(image.dtype) * vc
-        + wd.astype(image.dtype) * vd
-    )
+    if packed:
+        # one gather of the 4-corner-packed row per sample (valid samples have
+        # x0 <= W-2, y0 <= H-2, exactly where the packed table is exact)
+        table = _pack_corners(image).reshape(B, H * W, 4 * C)
+        g = _gather_pixels(table, y0, x0, W)
+        out = (
+            wa * g[..., :C] + wb * g[..., C : 2 * C]
+            + wc * g[..., 2 * C : 3 * C] + wd * g[..., 3 * C :]
+        )
+        return (out, valid) if output_mask else out
+
+    x1c = jnp.clip(x1, 0, W - 1)
+    y1c = jnp.clip(y1, 0, H - 1)
+    va = _gather_pixels(flat, y0, x0, W)
+    vb = _gather_pixels(flat, y0, x1c, W)
+    vc = _gather_pixels(flat, y1c, x0, W)
+    vd = _gather_pixels(flat, y1c, x1c, W)
+    out = wa * va + wb * vb + wc * vc + wd * vd
     return (out, valid) if output_mask else out
 
 

@@ -81,3 +81,22 @@ class TestStructuredRefineNet:
         c_got, pr_got = refine_net(p, photo_s, geo_s, prob_vol, vis_hull)
         np.testing.assert_allclose(np.asarray(c_got), np.asarray(c_ref), rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(pr_got), np.asarray(pr_ref), rtol=2e-4, atol=2e-5)
+
+
+class TestTiledUpsample:
+    def test_matches_materialized(self):
+        from atvsnet_tpu.geometry.depth_regression import (
+            prob2depth,
+            prob2depth_upsample,
+            upsample_prob_vol,
+        )
+
+        rng = np.random.RandomState(3)
+        pv = jnp.asarray(rng.rand(2, 16, 12, 20).astype(np.float32))
+        ds = jnp.array([0.5, 1.0])
+        di = jnp.array([0.05, 0.1])
+        pv_up = upsample_prob_vol(pv, 4)
+        d_ref, c_ref = prob2depth(pv_up, 16, ds, di, True)
+        _, d_up, _, c_up = prob2depth_upsample(pv, 16, ds, di, out_prob_map=True)
+        np.testing.assert_allclose(np.asarray(d_up), np.asarray(d_ref), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c_up), np.asarray(c_ref), rtol=1e-5, atol=1e-5)
