@@ -39,6 +39,61 @@ def _precision_for(x: jnp.ndarray):
     return lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
 
 
+def _conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int, rate: int = 1, padding="SAME") -> jnp.ndarray:
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        rhs_dilation=(rate, rate),
+        dimension_numbers=_DIM_NUMBERS[2],
+        precision=_precision_for(x),
+    )
+
+
+def _conv3d_decomposed(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """3D SAME conv as depth-tap-decomposed 2D convs (exact).
+
+    XLA's TPU conv3d lowering runs 2.5-3.7x slower than the equivalent 2D convs at
+    this model's channel widths (measured: 6.4 vs 23.9 TF/s at stride 1; 1.5 TF/s at
+    stride 2 — tools/microbench_conv.py), so every NDHWC conv folds D into the conv2d
+    batch and sums the 3 depth taps with shifted adds. Depth kernel size must be 3,
+    which is all the model uses (reference cnn_wrapper/atvsnet.py).
+    """
+    B, D, h, wd, Ci = x.shape
+    kd = w.shape[0]
+    assert kd == 3, "depth kernel must be 3"
+    Co = w.shape[-1]
+
+    if stride == 1:
+        x2 = x.reshape(B * D, h, wd, Ci)
+        y0 = _conv2d(x2, w[0], 1).reshape(B, D, h, wd, Co)
+        y1 = _conv2d(x2, w[1], 1).reshape(B, D, h, wd, Co)
+        y2 = _conv2d(x2, w[2], 1).reshape(B, D, h, wd, Co)
+        # SAME pad (1,1) over D: out[d] = y0[d-1] + y1[d] + y2[d+1]
+        zero = jnp.zeros_like(y1[:, :1])
+        return (
+            jnp.concatenate([zero, y0[:, :-1]], axis=1)
+            + y1
+            + jnp.concatenate([y2[:, 1:], zero], axis=1)
+        )
+
+    assert stride == 2 and D % 2 == 0
+    Do = D // 2
+    ho, wo = -(-h // 2), -(-wd // 2)
+    # SAME pad (0,1) over D: out[od] = sum_kd x[2*od + kd] (tap at index D is zero)
+    x_even = x[:, 0::2].reshape(B * Do, h, wd, Ci)
+    x_odd = x[:, 1::2].reshape(B * Do, h, wd, Ci)
+    x_next = jnp.concatenate([x[:, 2::2], jnp.zeros_like(x[:, :1])], axis=1)
+    x_next = x_next.reshape(B * Do, h, wd, Ci)
+    y = (
+        _conv2d(x_even, w[0], 2)
+        + _conv2d(x_odd, w[1], 2)
+        + _conv2d(x_next, w[2], 2)
+    )
+    return y.reshape(B, Do, ho, wo, Co)
+
+
 def conv(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -50,15 +105,18 @@ def conv(
 ) -> jnp.ndarray:
     """Rank-dispatching SAME conv (2D on NHWC / 3D on NDHWC), TF-layout kernel."""
     nd = x.ndim - 2
-    y = lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=(stride,) * nd,
-        padding=padding,
-        rhs_dilation=(rate,) * nd,
-        dimension_numbers=_DIM_NUMBERS[nd],
-        precision=_precision_for(x),
-    )
+    if nd == 3 and rate == 1 and padding == "SAME" and w.shape[0] == 3 and stride in (1, 2):
+        y = _conv3d_decomposed(x, w, stride)
+    else:
+        y = lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(stride,) * nd,
+            padding=padding,
+            rhs_dilation=(rate,) * nd,
+            dimension_numbers=_DIM_NUMBERS[nd],
+            precision=_precision_for(x),
+        )
     if b is not None:
         y = y + b.astype(y.dtype)
     return jnp.maximum(y, 0) if relu else y
@@ -133,19 +191,13 @@ def deconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2, relu: bool = False) 
     `w` uses the TF transpose-kernel layout (spatial..., out_ch, in_ch); as the forward
     kernel of the conv being transposed this is plain (spatial..., I=out_ch, O=in_ch).
     """
-    nd = x.ndim - 2
     out_ch = w.shape[-2]
     out_shape = (x.shape[0], *(s * stride for s in x.shape[1:-1]), out_ch)
 
+    # routing the forward conv through conv() makes the 3D case inherit the
+    # depth-decomposed 2D lowering; its linear transpose is equally decomposed
     def fwd(y):
-        return lax.conv_general_dilated(
-            y,
-            w.astype(x.dtype),
-            window_strides=(stride,) * nd,
-            padding="SAME",
-            dimension_numbers=_DIM_NUMBERS[nd],
-            precision=_precision_for(x),
-        )
+        return conv(y, w, stride=stride)
 
     y = jax.vjp(fwd, jnp.zeros(out_shape, x.dtype))[1](x)[0]
     return jnp.maximum(y, 0) if relu else y
