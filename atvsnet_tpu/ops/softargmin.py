@@ -1,0 +1,80 @@
+"""Pallas TPU kernel: fused soft-argmin over the depth axis.
+
+Computes depth(p) = sum_d sweep[d] * softmax_d(-cost[d, p]) in ONE pass over the cost
+volume: XLA's lowering of softmax + expectation walks the (B, D, h, w) volume several
+times (max-reduce, exp/sum, normalize, weighted sum); here each grid step holds a
+(D, bh, W) block in VMEM and emits the (bh, W) depth tile directly.
+
+Note on the warp kernels: the plane-sweep bilinear warp is the other hot op, but
+Mosaic currently rejects in-kernel gathers (jnp.take / take_along_axis / dynamic row
+indexing all fail to lower — verified on this toolchain), so the warp stays on XLA's
+gather with the 4-corner row packing optimization (geometry/warp.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(cost_ref, sweep_ref, out_ref):
+    cost = cost_ref[...][0].astype(jnp.float32)        # (D, bh, W)
+    sweep = sweep_ref[...][0].astype(jnp.float32)      # (D, 1)
+    neg = -cost
+    m = jnp.max(neg, axis=0)                           # (bh, W)
+    e = jnp.exp(neg - m[None])
+    s = jnp.sum(e, axis=0)
+    num = jnp.sum(sweep[:, :, None] * e, axis=0)
+    out_ref[...] = (num / s)[None]
+
+
+def _block_rows(h: int, target: int = 16) -> int:
+    for t in range(min(target, h), 0, -1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def softargmin_pallas(
+    cost_volume: jnp.ndarray,
+    sweep: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """cost_volume (B, D, h, w), sweep (B, D) -> depth (B, h, w, 1) fp32.
+
+    Equivalent to geometry.depth_regression.prob2depth(..., out_prob_map=False).
+    """
+    B, D, h, w = cost_volume.shape
+    bh = _block_rows(h)
+    grid = (B, h // bh)
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, bh, w), lambda b, i: (b, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, 1), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, h, w), jnp.float32),
+        interpret=interpret,
+    )(cost_volume, sweep[..., None])
+    return out[..., None]
+
+
+def softargmin(
+    cost_volume: jnp.ndarray,
+    depth_num: int,
+    depth_start: jnp.ndarray,
+    depth_interval: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in fused replacement for prob2depth(out_prob_map=False)."""
+    steps = jnp.arange(depth_num, dtype=jnp.float32)
+    sweep = depth_start.astype(jnp.float32)[:, None] + steps[None] * depth_interval.astype(jnp.float32)[:, None]
+    return softargmin_pallas(cost_volume, sweep, interpret=interpret)
