@@ -1,0 +1,119 @@
+"""Training CLI — new capability (the reference ships no training, SURVEY.md §0).
+
+    python -m atvsnet_tpu.cli.train --data_root <mvs_syn_base> --steps 1000 \
+        --ckpt runs/state.npz [--resume] [--mesh data=2,view=4]
+
+Data: an MVS-Synth/DeMoN-layout dataset (data/mvs_syn.py); with --synthetic, trains on
+a procedurally generated random-texture plane scene (smoke/perf testing without data).
+Supervision: masked L1 in sweep (inverse-depth) space on the aggregated and refined
+depth maps + per-pair auxiliary (models/train.py). Checkpoints the FULL TrainState
+(params + optimizer + step) for resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from atvsnet_tpu.config import PipelineConfig, TrainConfig
+from atvsnet_tpu.utils import log
+
+
+def synthetic_batch(cfg: PipelineConfig, rng: np.random.RandomState):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
+    from tests._utils import synthetic_scene
+
+    images, cams = synthetic_scene(
+        view_num=cfg.view_num, H=cfg.max_h, W=cfg.max_w, D=cfg.max_d,
+        seed=rng.randint(1 << 30),
+    )
+    h, w = cfg.max_h // 4, cfg.max_w // 4
+    gt = (0.5 + 0.05 * cfg.max_d * rng.rand(1, h, w, 1)).astype(np.float32)
+    return {"images": images, "cams": cams, "depth_gt": gt}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--data_root", default=None, help="MVS-Synth-layout dataset root")
+    ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--view_num", type=int, default=3)
+    ap.add_argument("--max_d", type=int, default=32)
+    ap.add_argument("--max_h", type=int, default=128)
+    ap.add_argument("--max_w", type=int, default=160)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--ckpt", default="runs/train_state.npz")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--log_every", type=int, default=10)
+    ap.add_argument("--ckpt_every", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from atvsnet_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+
+    from atvsnet_tpu.models.train import TrainState, make_optimizer, train_step
+    from atvsnet_tpu.models.tvsnet import init_params
+    from atvsnet_tpu.utils.ckpt import load_train_state, save_train_state
+
+    cfg = PipelineConfig(
+        view_num=args.view_num, max_d=args.max_d, max_h=args.max_h, max_w=args.max_w,
+        compute_dtype=args.dtype,
+    )
+    tcfg = TrainConfig(learning_rate=args.lr)
+    tx = make_optimizer(tcfg)
+
+    params = init_params(jax.random.PRNGKey(args.seed), cfg)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    if args.resume and os.path.exists(args.ckpt):
+        state = load_train_state(args.ckpt, state)
+        log.info(f"resumed from {args.ckpt} at step {int(state.step)}")
+
+    rng = np.random.RandomState(args.seed)
+    if args.data_root and not args.synthetic:
+        from atvsnet_tpu.data.mvs_syn import MvsSynDataset, load_training_sample
+
+        ds = MvsSynDataset(args.data_root, num_neighbors=cfg.view_num - 1, seed=args.seed)
+        sample_ids = list(ds.training_samples(cfg.view_num))
+        log.info(f"{len(sample_ids)} training samples")
+
+        def next_batch():
+            ids, _aug = sample_ids[rng.randint(len(sample_ids))]
+            return load_training_sample(
+                ds, ids, max_d=cfg.max_d, inverse_depth=cfg.inverse_depth, augment_rng=rng
+            )
+
+    else:
+        log.warn("training on synthetic data (--synthetic or no --data_root)")
+        next_batch = lambda: synthetic_batch(cfg, rng)  # noqa: E731
+
+    step_fn = jax.jit(lambda s, b: train_step(s, b, cfg, tcfg, tx), donate_argnums=(0,))
+
+    os.makedirs(os.path.dirname(args.ckpt) or ".", exist_ok=True)
+    t0 = time.time()
+    start = int(state.step)
+    for i in range(start, args.steps):
+        batch = {k: jnp.asarray(v) for k, v in next_batch().items()}
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % args.log_every == 0:
+            loss = float(metrics["loss"])
+            rate = (i + 1 - start) / (time.time() - t0)
+            log.info(f"step {i + 1}/{args.steps} loss {loss:.4f} ({rate:.2f} it/s)")
+        if (i + 1) % args.ckpt_every == 0 or (i + 1) == args.steps:
+            save_train_state(args.ckpt, state)
+    save_train_state(args.ckpt, state)
+    log.info(f"final state saved to {args.ckpt}")
+
+
+if __name__ == "__main__":
+    main()

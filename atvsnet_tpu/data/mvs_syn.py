@@ -180,3 +180,91 @@ class MvsSynDataset:
                 continue
             for perm in ref.neighbor_permutations:
                 yield [ref.id] + list(perm[: view_num - 1])
+
+    def training_samples(self, view_num: int, mode: str = "training", augment_number: int = 1):
+        """Train/val-split samples with augment repeats (preprocess_mvs_syn.py:436-476).
+
+        val.json at the dataset root lists validation sequence ids; absent -> all
+        samples are training. Yields (ids, augment_index)."""
+        val_path = os.path.join(self.basepath, "val.json")
+        val_seqs = set()
+        if os.path.isfile(val_path):
+            with open(val_path) as f:
+                val_seqs = set(json.load(f))
+        for ids in self.samples(view_num):
+            seq = self.images[ids[0]].seq_id
+            if mode == "training" and seq in val_seqs:
+                continue
+            if mode == "validation" and seq not in val_seqs:
+                continue
+            for aug in range(augment_number):
+                yield ids, aug
+
+
+def load_training_sample(
+    dataset: "MvsSynDataset",
+    ids,
+    max_d: int = 128,
+    sample_scale: float = 0.25,
+    inverse_depth: bool = True,
+    augment_rng=None,
+):
+    """Read one [ref, views...] sample: images + EXR GT depth -> training batch.
+
+    Returns dict(images (1,N,H,W,3), cams (1,N,2,4,4), depth_gt (1,h,w,1) in sweep
+    space at cost-volume resolution). Depth range comes from the GT depth map
+    (reference eval_pointcloud.py:172-193 / preprocess_colmap.py:238-257).
+    """
+    import cv2
+
+    from atvsnet_tpu.data.augment import augment_image_group
+    from atvsnet_tpu.data.colmap import set_depth_range_from_depthmap
+    from atvsnet_tpu.geometry.cameras import scale_camera_np
+
+    imgs = [cv2.imread(dataset.images[i].filepath) for i in ids]
+    imgs = augment_image_group(imgs, rng=augment_rng)
+    cams = np.stack([dataset.images[i].to_mvsnet_cam(max_d) for i in ids])
+
+    ref = dataset.images[ids[0]]
+    depth = _read_exr_depth(ref.depthpath)
+
+    if inverse_depth:
+        inv = np.where(depth > 0, 1.0 / np.maximum(depth, 1e-10), 0.0)
+        rng_src = inv
+    else:
+        rng_src = depth
+    cams = set_depth_range_from_depthmap(cams, rng_src, max_d)
+    cams = np.stack([scale_camera_np(c, sample_scale) for c in cams])
+
+    h = int(depth.shape[0] * sample_scale)
+    w = int(depth.shape[1] * sample_scale)
+    gt_small = cv2.resize(depth.astype(np.float32), (w, h), interpolation=cv2.INTER_NEAREST)
+    if inverse_depth:
+        gt_small = np.where(gt_small > 0, 1.0 / np.maximum(gt_small, 1e-10), 0.0)
+
+    return {
+        "images": np.stack(imgs)[None].astype(np.float32),
+        "cams": cams[None].astype(np.float32),
+        "depth_gt": gt_small[None, ..., None].astype(np.float32),
+    }
+
+
+def _read_exr_depth(path: str) -> np.ndarray:
+    """Read an EXR depth map (first channel), via imageio or OpenCV."""
+    try:
+        import imageio.v2 as imageio
+
+        img = imageio.imread(path)
+    except Exception:
+        import os as _os
+
+        _os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+        import cv2
+
+        img = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = img[..., 0]
+    return img.astype(np.float32)

@@ -122,6 +122,30 @@ def tf_name_map(params: dict) -> Dict[str, str]:
     return mapping
 
 
+def save_train_state(path: str, state) -> None:
+    """Checkpoint a full TrainState (params + optimizer state + step) for resume.
+
+    The reference has no save/resume at all (load-only tf.train.Saver.restore,
+    SURVEY.md §5). Leaves are stored in tree-flatten order with the treedef string as
+    a structural fingerprint.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(str(treedef).encode(), dtype=np.uint8)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+
+
+def load_train_state(path: str, template):
+    """Restore a TrainState saved by save_train_state into `template`'s structure."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    with np.load(path) as z:
+        saved_def = z["__treedef__"].tobytes().decode()
+        if saved_def != str(treedef):
+            raise ValueError("checkpoint structure does not match the current TrainState")
+        new_leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def load_tf_npz(params: dict, npz_path: str, strict: bool = True) -> dict:
     """Fill `params` from an npz of {tf_var_name: array} (dumped from the TF ckpt)."""
     mapping = tf_name_map(params)

@@ -190,3 +190,71 @@ class TestMvsSyn:
         assert cam.shape == (2, 4, 4)
         assert cam[1][0][0] == 50.0
         assert cam[1][3][2] == 16
+
+
+class TestAugment:
+    def test_identity_when_no_rng(self):
+        from atvsnet_tpu.data.augment import augment_image_group
+        from atvsnet_tpu.data.preprocess import center_image
+
+        rng = np.random.RandomState(0)
+        imgs = [(rng.rand(8, 8, 3) * 255).astype(np.uint8) for _ in range(2)]
+        out = augment_image_group(imgs, rng=None)
+        for o, i in zip(out, imgs):
+            np.testing.assert_allclose(o, center_image(i / 255.0), atol=1e-5)
+
+    def test_group_shares_jitter(self):
+        from atvsnet_tpu.data.augment import augment_image_group
+
+        rng = np.random.RandomState(1)
+        img = (np.full((8, 8, 3), 128)).astype(np.uint8)
+        out = augment_image_group([img, img], rng=rng, normalize_image=False)
+        np.testing.assert_array_equal(out[0], out[1])
+
+    def test_saturation_mode(self):
+        from atvsnet_tpu.data.augment import augment_image_color
+
+        img = np.full((4, 4, 3), 255, np.uint8)
+        out = augment_image_color(img, random_brightness=3.0, normalize_image=False)
+        assert out.max() <= 0.5 and out.min() >= -0.5
+
+
+class TestMvsSynTraining:
+    def test_training_validation_split(self, mvs_syn_dir):
+        import json as _json
+
+        with open(os.path.join(mvs_syn_dir, "val.json"), "w") as f:
+            _json.dump([1], f)
+        ds = MvsSynDataset(mvs_syn_dir, num_neighbors=2, max_neighbor_range=4, seed=0)
+        train = list(ds.training_samples(3, mode="training"))
+        val = list(ds.training_samples(3, mode="validation"))
+        assert train and val
+        for ids, _ in train:
+            assert ds.images[ids[0]].seq_id != 1
+        for ids, _ in val:
+            assert ds.images[ids[0]].seq_id == 1
+        os.remove(os.path.join(mvs_syn_dir, "val.json"))
+
+    def test_load_training_sample(self, mvs_syn_dir, monkeypatch):
+        import atvsnet_tpu.data.mvs_syn as ms
+
+        rng = np.random.RandomState(0)
+        H, W = 48, 64
+
+        monkeypatch.setattr(
+            ms, "_read_exr_depth", lambda path: (2.0 + rng.rand(H, W)).astype(np.float32)
+        )
+        import cv2
+
+        ds = MvsSynDataset(mvs_syn_dir, num_neighbors=2, max_neighbor_range=4, seed=0)
+        # fabricate image files
+        for im in ds.images:
+            os.makedirs(os.path.dirname(im.filepath), exist_ok=True)
+            cv2.imwrite(im.filepath, rng.randint(0, 255, (H, W, 3)).astype(np.uint8))
+        ids, _ = next(ds.training_samples(3))
+        batch = ms.load_training_sample(ds, ids, max_d=8)
+        assert batch["images"].shape == (1, 3, H, W, 3)
+        assert batch["cams"].shape == (1, 3, 2, 4, 4)
+        assert batch["depth_gt"].shape == (1, H // 4, W // 4, 1)
+        assert batch["cams"][0, 0, 1, 3, 1] > 0  # positive sweep interval
+        assert (batch["depth_gt"] > 0).all()

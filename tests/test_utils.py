@@ -95,3 +95,41 @@ class TestStageTimer:
         s = t.summary()
         assert s["a"]["count"] == 2
         assert s["a"]["total_s"] >= 0
+
+
+class TestTrainStateCkpt:
+    def test_roundtrip(self, params, tmp_path):
+        import jax.numpy as jnp
+        import optax
+
+        from atvsnet_tpu.config import TrainConfig
+        from atvsnet_tpu.models.train import TrainState, make_optimizer
+        from atvsnet_tpu.utils.ckpt import load_train_state, save_train_state
+
+        tx = make_optimizer(TrainConfig())
+        state = TrainState(params, tx.init(params), jnp.asarray(7))
+        p = str(tmp_path / "state.npz")
+        save_train_state(p, state)
+        restored = load_train_state(p, state)
+        assert int(restored.step) == 7
+        a = jax.tree_util.tree_leaves(state)
+        b = jax.tree_util.tree_leaves(restored)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_structure_mismatch_rejected(self, params, tmp_path):
+        import jax.numpy as jnp
+        import optax
+
+        from atvsnet_tpu.config import TrainConfig
+        from atvsnet_tpu.models.train import TrainState, make_optimizer
+        from atvsnet_tpu.utils.ckpt import load_train_state, save_train_state
+
+        tx = make_optimizer(TrainConfig())
+        state = TrainState(params, tx.init(params), jnp.asarray(0))
+        p = str(tmp_path / "state.npz")
+        save_train_state(p, state)
+        bad = TrainState({"only": jnp.zeros(3)}, tx.init({"only": jnp.zeros(3)}), jnp.asarray(0))
+        with pytest.raises(ValueError):
+            load_train_state(p, bad)

@@ -38,16 +38,23 @@ H, W, D, N = 480, 896, 128, 5
 
 
 def bench(name, fn, *args, iters=3):
-    out = jax.block_until_ready(fn(*args))
-    del out
+    """Scalar-forced timing: block_until_ready returns before execution on the axon
+    platform and full-output device_get pays ~300MB/s tunnel transfer; reduce every
+    output to one scalar and materialize that (~3.5ms fixed per-call overhead)."""
+    g = jax.jit(
+        lambda *a: jax.tree_util.tree_reduce(
+            lambda acc, leaf: acc + jnp.sum(leaf.astype(jnp.float32)),
+            fn(*a),
+            jnp.float32(0),
+        )
+    )
+    np.asarray(g(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = g(*args)
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
-    # force materialization of one leaf to defeat lazy platforms
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf)
-    print(f"{name:34s} {dt * 1e3:9.1f} ms")
+    print(f"{name:34s} {dt * 1e3:9.1f} ms", flush=True)
     return dt
 
 
@@ -70,41 +77,39 @@ def main():
     feats = jax.block_until_ready(feats)
     shallow = jax.block_until_ready(shallow)
 
-    bench("features (N=5 FEM)", jax.jit(lambda p, i: extract_features(p, i, cfg)), params, images, iters=args.iters)
-    bench("shallow features", jax.jit(lambda p, i: extract_features(p, i, cfg, shallow=True)), params, images, iters=args.iters)
+    bench("features (N=5 FEM)", lambda p, i: extract_features(p, i, cfg), params, images, iters=args.iters)
+    bench("shallow features", lambda p, i: extract_features(p, i, cfg, shallow=True), params, images, iters=args.iters)
 
     f0, f1 = feats[:, 0], feats[:, 1]
     c0, c1 = cams[:, 0], cams[:, 1]
 
     homos = jax.jit(lambda a, b: get_homographies(a, b, D, ds, di, True))(c0, c1)
-    bench("homographies (D=128)", jax.jit(lambda a, b: get_homographies(a, b, D, ds, di, True)), c0, c1, iters=args.iters)
-    bench("plane_sweep_warp (1 view feat)", jax.jit(plane_sweep_warp), f1, homos, iters=args.iters)
+    bench("homographies (D=128)", lambda a, b: get_homographies(a, b, D, ds, di, True), c0, c1, iters=args.iters)
+    bench("plane_sweep_warp (1 view feat)", plane_sweep_warp, f1, homos, iters=args.iters)
 
     cost, _ = jax.jit(lambda: build_cost_volume(f0, f1, c0, c1, cfg, ds, di))()
     cost = jax.block_until_ready(cost)
-    bench("build_cost_volume", jax.jit(lambda: build_cost_volume(f0, f1, c0, c1, cfg, ds, di)[0]), iters=args.iters)
-    bench("CRM (one pass)", jax.jit(lambda p, c: crm(p["crm"], c, eps=cfg.bn_eps)), params, cost, iters=args.iters)
-    bench("tvsnet_base (pair, siamese)", jax.jit(lambda p: tvsnet_base(p, f0, f1, c0, c1, cfg, ds, di, True)), params, iters=args.iters)
+    bench("build_cost_volume", lambda: build_cost_volume(f0, f1, c0, c1, cfg, ds, di)[0], iters=args.iters)
+    bench("CRM (one pass)", lambda p, c: crm(p["crm"], c, eps=cfg.bn_eps), params, cost, iters=args.iters)
+    bench("tvsnet_base (pair, siamese)", lambda p: [o for o in tvsnet_base(p, f0, f1, c0, c1, cfg, ds, di, True) if o is not None], params, iters=args.iters)
 
     base = jax.jit(lambda p: tvsnet_base(p, f0, f1, c0, c1, cfg, ds, di, True))(params)
     base = jax.block_until_ready(base)
     stacked = jnp.stack([base.filtered_cost] * (N - 1), axis=-1)
-    bench("AAM1 attention (P=4)", jax.jit(lambda p, x: aam_aggregate(p, x, 1)), params, stacked, iters=args.iters)
+    bench("AAM1 attention (P=4)", lambda p, x: aam_aggregate(p, x, 1), params, stacked, iters=args.iters)
 
     bench(
         "refinement (one pair)",
-        jax.jit(
-            lambda p: refinement(
-                p, base.depth, base.depth_view, c0, c1,
-                shallow[:, 0], shallow[:, 1], base.prob_volume, cfg, ds, di,
-            )
+        lambda p: refinement(
+            p, base.depth, base.depth_view, c0, c1,
+            shallow[:, 0], shallow[:, 1], base.prob_volume, cfg, ds, di,
         ),
         params,
         iters=args.iters,
     )
     bench(
         "prob2depth_upsample",
-        jax.jit(lambda pv: prob2depth_upsample(pv, D, ds, di)),
+        lambda pv: prob2depth_upsample(pv, D, ds, di),
         base.prob_volume,
         iters=args.iters,
     )
