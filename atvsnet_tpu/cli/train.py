@@ -53,9 +53,13 @@ def main() -> None:
     ap.add_argument("--log_every", type=int, default=10)
     ap.add_argument("--ckpt_every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from atvsnet_tpu.utils.runtime import setup_jax

@@ -64,6 +64,40 @@ def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     return out
 
 
+def select_views(
+    cams: np.ndarray,
+    ref_idx: int,
+    width: int,
+    height: int,
+    min_angle_deg: float = 10.0,
+    max_angle_deg: float = 30.0,
+) -> np.ndarray:
+    """Central-ray-angle view selection (reference fusibile/main.cpp:363-401).
+
+    NOTE: the reference pipeline DISABLES this (viewSel=false at main.cpp:721 keeps
+    all views); provided for gipuma-compatible workflows. Returns selected indices.
+    """
+    P, M_inv, centers, _ = camera_geometry(cams)
+    center_px = np.array([width / 2.0, height / 2.0, 1.0])
+
+    def view_vector(i):
+        X = M_inv[i] @ (center_px - P[i][:, 3] * 0)  # direction through image center
+        # direction of the ray through the principal pixel: M_inv @ p (not translated)
+        v = M_inv[i] @ center_px
+        return v / (np.linalg.norm(v) + 1e-12)
+
+    v_ref = view_vector(ref_idx)
+    selected = []
+    lo, hi = np.deg2rad(min_angle_deg), np.deg2rad(max_angle_deg)
+    for i in range(cams.shape[0]):
+        if i == ref_idx:
+            continue
+        ang = np.arccos(np.clip(v_ref @ view_vector(i), -1.0, 1.0))
+        if lo < ang < hi:
+            selected.append(i)
+    return np.asarray(selected, dtype=np.int32)
+
+
 def camera_geometry(cams: np.ndarray):
     """cams (V, 2, 4, 4) -> P (V,3,4), M_inv (V,3,3), centers (V,3), f (V,)."""
     cams = np.asarray(cams, np.float64)

@@ -283,3 +283,14 @@ def aam_output_conv(params: dict, agg_cost: jnp.ndarray, stage: int) -> jnp.ndar
     if stage == 1:
         return output_conv(params["aam1_out"], "attention_prob_vol", agg_cost)
     return output_conv(params["aam2_out"], "attention_prob_vol_refine", agg_cost)
+
+
+def cost_volume_aggregation(
+    params: dict, cost_volumes: jnp.ndarray, stage: int = 1, keepchannel: bool = False
+):
+    """Reference model.py:445-468 wrapper: keepchannel returns the aggregated
+    (B, D, h, w, C) volume; otherwise appends the 1-channel output conv and squeezes."""
+    agg = aam_aggregate(params, cost_volumes, stage)
+    if keepchannel:
+        return agg
+    return aam_output_conv(params, agg, stage)

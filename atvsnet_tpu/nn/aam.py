@@ -66,6 +66,28 @@ def attention_aggregate(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(score.astype(x.dtype) * x, axis=-1)
 
 
+def attention_activation_2d(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """2D variant over (B, H, W, C, N) stacks (reference network.py:411-478)."""
+    B, H, W, C, N = x.shape
+    xv = jnp.moveaxis(x, -1, 0).reshape(N * B, H, W, C)
+    unique = L.conv(xv, params["weight_unique"], relu=True).reshape(N, B, H, W, C)
+    shared = L.conv(xv, params["weight_shared"], relu=True).reshape(N, B, H, W, C)
+    out = unique - shared + jnp.sum(shared, axis=0)[None]
+    return jnp.moveaxis(out, 0, -1)
+
+
+def init_attention_2d(key, scope: str, channels: int, kernel_size: int = 3) -> dict:
+    base = f"{scope}/attention_activation_2d"
+    return {
+        "weight_unique": L.glorot_normal(
+            L.key_for(key, base + "/weight_unique"), (kernel_size,) * 2 + (channels, channels)
+        ),
+        "weight_shared": L.glorot_normal(
+            L.key_for(key, base + "/weight_shared"), (kernel_size,) * 2 + (channels, channels)
+        ),
+    }
+
+
 def init_output_conv(key, name: str, channels: int) -> dict:
     """3x3x3 conv to 1 channel, no relu/bias (OutputConv, atvsnet.py:216-226)."""
     return {name: L.init_conv(key, name, 3, channels, 1, nd=3)}

@@ -233,6 +233,65 @@ def max_pool_same(x: jnp.ndarray, pool: int, stride: int) -> jnp.ndarray:
     return lax.reduce_window(x, -jnp.inf, lax.max, window, strides, "SAME")
 
 
+def l2_pool_same(x: jnp.ndarray, pool: int, stride: int) -> jnp.ndarray:
+    """sqrt(avg_pool(x^2)) — reference network.py:673-680."""
+    return jnp.sqrt(avg_pool_same(jnp.square(x), pool, stride))
+
+
+def dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None, relu: bool = True) -> jnp.ndarray:
+    """Fully-connected layer over the last axis (reference 'fc', network.py:709-716)."""
+    y = jnp.matmul(x, w.astype(x.dtype), precision=_precision_for(x))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return jnp.maximum(y, 0) if relu else y
+
+
+def dropout(x: jnp.ndarray, key, keep_prob: float = 0.9, training: bool = True) -> jnp.ndarray:
+    """Inverted dropout (reference network.py:752-763; identity at inference)."""
+    if not training or keep_prob >= 1.0:
+        return x
+    mask = jax.random.bernoulli(key, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, 0.0).astype(x.dtype)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """Unit-norm along axis (reference 'l2norm', network.py:765-767)."""
+    sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    return (x.astype(jnp.float32) * lax.rsqrt(jnp.maximum(sq, eps))).astype(x.dtype)
+
+
+def split_separable_conv2d(
+    x: jnp.ndarray,
+    depthwise_w: jnp.ndarray,
+    pointwise_w: jnp.ndarray,
+    depthwise_b: Optional[jnp.ndarray] = None,
+    pointwise_b: Optional[jnp.ndarray] = None,
+    rate: int = 1,
+) -> jnp.ndarray:
+    """Depthwise conv -> ReLU -> 1x1 pointwise conv -> ReLU
+    (reference network.py:218-268; slim defaults add biases and ReLU to both halves).
+
+    depthwise_w: (kh, kw, C, 1); pointwise_w: (1, 1, C, Cout).
+    """
+    C = x.shape[-1]
+    # TF depthwise layout (kh, kw, C, 1) -> grouped-conv HWIO (kh, kw, 1, C)
+    rhs = jnp.transpose(depthwise_w, (0, 1, 3, 2)).astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(1, 1),
+        padding="SAME",
+        rhs_dilation=(rate, rate),
+        dimension_numbers=_DIM_NUMBERS[2],
+        feature_group_count=C,
+        precision=_precision_for(x),
+    )
+    if depthwise_b is not None:
+        y = y + depthwise_b.astype(y.dtype)
+    y = jnp.maximum(y, 0)
+    return conv(y, pointwise_w, pointwise_b, relu=True)
+
+
 def conv3d_mixed(
     w: jnp.ndarray,
     varying: jnp.ndarray,

@@ -117,3 +117,17 @@ class TestIO:
         assert n.shape == (2, 2, 3)
         np.testing.assert_allclose(n[0, 0], 1 / np.sqrt(3), rtol=1e-5)
         np.testing.assert_allclose(n[0, 1], 0.0)
+
+
+class TestViewSelection:
+    def test_angle_window(self):
+        from atvsnet_tpu.fusion.consistency import select_views
+
+        K = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1.0]])
+        cams = []
+        for angle_deg in [0.0, 5.0, 15.0, 45.0]:
+            R = rotation([0, 1, 0], np.deg2rad(angle_deg))
+            cams.append(make_cam(K, R, np.zeros(3)))
+        cams = np.stack(cams)
+        sel = select_views(cams, 0, width=32, height=24, min_angle_deg=10, max_angle_deg=30)
+        assert list(sel) == [2]

@@ -172,3 +172,65 @@ class TestRefineNet:
         )
         assert cost_res.shape == (B, D, h, w, 4)
         assert prob_res.shape == (B, D, h, w)
+
+
+class TestMiscLayers:
+    def test_l2_pool(self):
+        x = jnp.full((1, 4, 4, 1), 2.0)
+        out = np.asarray(L.l2_pool_same(x, 2, 2))
+        np.testing.assert_allclose(out, 2.0, rtol=1e-6)
+
+    def test_dense(self):
+        x = jnp.ones((2, 3))
+        w = jnp.ones((3, 4))
+        b = jnp.ones((4,))
+        np.testing.assert_allclose(np.asarray(L.dense(x, w, b)), 4.0)
+        np.testing.assert_allclose(np.asarray(L.dense(x, -w, None, relu=True)), 0.0)
+
+    def test_dropout_identity_at_inference(self):
+        x = jnp.ones((4, 4))
+        out = L.dropout(x, jax.random.PRNGKey(0), keep_prob=0.5, training=False)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def test_dropout_scales_at_training(self):
+        x = jnp.ones((100, 100))
+        out = np.asarray(L.dropout(x, jax.random.PRNGKey(0), keep_prob=0.5, training=True))
+        assert abs(out.mean() - 1.0) < 0.1
+        assert set(np.unique(out)) <= {0.0, 2.0}
+
+    def test_l2_normalize(self):
+        x = jnp.asarray(np.random.RandomState(0).randn(5, 7).astype(np.float32))
+        out = np.asarray(L.l2_normalize(x, axis=-1))
+        np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-5)
+
+
+class TestAttention2D:
+    def test_matches_per_view_loop(self):
+        from atvsnet_tpu.nn.aam import attention_activation_2d, init_attention_2d
+
+        C, N = 3, 4
+        p = init_attention_2d(KEY, "agg2d", C)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 6, 6, C, N).astype(np.float32))
+        out = np.asarray(attention_activation_2d(p, x))
+        views = [x[..., i] for i in range(N)]
+        u = [np.asarray(L.conv(v, p["weight_unique"], relu=True)) for v in views]
+        s = [np.asarray(L.conv(v, p["weight_shared"], relu=True)) for v in views]
+        s_sum = np.sum(s, axis=0)
+        for i in range(N):
+            np.testing.assert_allclose(out[..., i], u[i] - s[i] + s_sum, rtol=2e-5, atol=1e-5)
+
+
+class TestSeparableConv:
+    def test_matches_manual(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(1, 6, 6, 3).astype(np.float32))
+        dw = jnp.asarray(rng.rand(3, 3, 3, 1).astype(np.float32) - 0.5)
+        pw = jnp.asarray(rng.rand(1, 1, 3, 5).astype(np.float32) - 0.5)
+        out = L.split_separable_conv2d(x, dw, pw)
+        assert out.shape == (1, 6, 6, 5)
+        # depthwise at center pixel = per-channel correlation
+        patch = np.asarray(x)[0, 1:4, 1:4, :]
+        depth_c = np.einsum("hwc,hwc->c", patch, np.asarray(dw)[..., 0])
+        manual = np.maximum(np.maximum(depth_c, 0) @ np.asarray(pw)[0, 0], 0)
+        np.testing.assert_allclose(np.asarray(out)[0, 2, 2], manual, rtol=1e-5)
