@@ -35,18 +35,16 @@ def init_attention(key, scope: str, channels: int, kernel_size: int = 3) -> dict
     }
 
 
-def _per_view_conv(x_views: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """x_views (N*B, D, h, w, C) -> relu(conv3d) with one shared kernel."""
-    return L.conv(x_views, w, relu=True)
-
-
 def attention_activation(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """(B, D, h, w, C, N) -> per-view activations (B, D, h, w, C, N)."""
     B, D, h, w, C, N = x.shape
     xv = jnp.moveaxis(x, -1, 0).reshape(N * B, D, h, w, C)
 
-    unique = _per_view_conv(xv, params["weight_unique"]).reshape(N, B, D, h, w, C)
-    shared = _per_view_conv(xv, params["weight_shared"]).reshape(N, B, D, h, w, C)
+    # one conv with [unique | shared] stacked on the output axis: same math, wider
+    # (more MXU-efficient) kernel, half the dispatches
+    w_cat = jnp.concatenate([params["weight_unique"], params["weight_shared"]], axis=-1)
+    both = L.conv(xv, w_cat, relu=True).reshape(N, B, D, h, w, 2 * C)
+    unique, shared = both[..., :C], both[..., C:]
     shared_sum = jnp.sum(shared, axis=0)  # (B, D, h, w, C) — psum over views if sharded
 
     out = unique - shared + shared_sum[None]
