@@ -33,10 +33,11 @@ def _kernel(cost_ref, sweep_ref, out_ref):
 
 
 def _block_rows(h: int, target: int = 16) -> int:
+    """Mosaic requires the sublane block dim to be a multiple of 8 (or the full dim)."""
     for t in range(min(target, h), 0, -1):
-        if h % t == 0:
+        if h % t == 0 and t % 8 == 0:
             return t
-    return 1
+    return h
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
