@@ -79,12 +79,24 @@ def run_eval_pc(
         out_folder = os.path.join(savepath, scene, "depths_atvsnet")
         os.makedirs(out_folder, exist_ok=True)
 
-        scene_runtime = 0.0
-        for i, paths in enumerate(mvs_list):
-            sample = load_mvs_sample(
+        # prefetch: decode/scale/crop the next sample on a host thread while the
+        # device runs the current one (the reference is fully synchronous)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+
+        def _load(paths):
+            return load_mvs_sample(
                 paths, view_num, max_d=max_d, max_h=max_h, max_w=max_w,
                 inverse_depth=cfg.inverse_depth,
             )
+
+        futures = [pool.submit(_load, mvs_list[0])] if mvs_list else []
+        scene_runtime = 0.0
+        for i, paths in enumerate(mvs_list):
+            sample = futures[i].result()
+            if i + 1 < len(mvs_list):
+                futures.append(pool.submit(_load, mvs_list[i + 1]))
             t0 = time.time()
             out = fwd(params, jnp.asarray(sample["images"]), jnp.asarray(sample["cams"]))
             depth_sweep = np.asarray(out["depth"])
@@ -110,6 +122,7 @@ def run_eval_pc(
             if (i + 1) % 10 == 0:
                 log.info(f"{scene}: {i + 1}/{len(mvs_list)} ({scene_runtime:.1f}s)")
 
+        pool.shutdown(wait=False)
         with open(os.path.join(savepath, scene, "zz_runtime.txt"), "w") as f:
             f.write("runtime " + str(scene_runtime))
         log.info(f"{scene}: {len(mvs_list)} ref images in {scene_runtime:.1f}s")
