@@ -161,16 +161,24 @@ def refinement(
     depth_view_trans = transform_depth(depth_view, view_cam, ref_cam, inv)
     homographies = get_homographies(ref_cam, view_cam, D, depth_start, depth_interval, inv)
 
-    # --- photometric L1 cost volume over shallow features (model.py:270-280) ---
-    warped_feat, mask = plane_sweep_warp(shallow_view, homographies, output_mask=True)
+    # --- photometric + geometric sweeps fused into ONE gather (same homographies
+    # and therefore identical masks; reference warps separately, model.py:276,294) ---
+    stacked_src = jnp.concatenate(
+        [shallow_view, depth_view_trans.astype(shallow_view.dtype)], axis=-1
+    )
+    warped_all, mask = plane_sweep_warp(stacked_src, homographies, output_mask=True)
+    warped_feat = warped_all[..., :F]
+    warped_depth = warped_all[..., F:].astype(jnp.float32)
+    mask_geo = mask
+
+    # photometric L1 cost volume over shallow features (model.py:270-280)
     cost_vol_photo = jnp.abs(warped_feat - shallow_ref[:, None]) * mask.astype(shallow_ref.dtype)
 
-    # --- geometric L1 depth-consistency volume (model.py:285-300) ---
+    # geometric L1 depth-consistency volume (model.py:285-300)
     sweep = sweep_depths(depth_start.astype(jnp.float32), depth_interval.astype(jnp.float32), D)
     sweep = sweep[:, :, None, None, None]                      # (B, D, 1, 1, 1)
     denom = (depth_interval.astype(jnp.float32) * D)[:, None, None, None, None]
     geo_ref = jnp.abs(depth_ref[:, None] - sweep) / denom      # (B, D, h, w, 1)
-    warped_depth, mask_geo = plane_sweep_warp(depth_view_trans, homographies, output_mask=True)
     # the reference broadcasts this 1-channel error into F masked channels
     # (model.py:295-296); structurally those F channels are identical, so it stays
     # 1-channel here and the refine net collapses its kernel over them (refine_net)
