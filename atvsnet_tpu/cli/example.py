@@ -80,6 +80,8 @@ def run_example(
     cfg = PipelineConfig(view_num=view_num, max_d=max_d)
 
     if params_path:
+        if not os.path.exists(params_path):
+            raise SystemExit(f"error: --params checkpoint not found: {params_path}")
         params = load_params(params_path)
         log.info(f"params restored from {params_path}")
     else:

@@ -33,6 +33,7 @@ def multi_view_forward_spmd(
     cams: jnp.ndarray,
     cfg: PipelineConfig,
     mesh: Mesh | None = None,
+    out_prob_map: bool = False,
 ):
     """Same math as models.atvsnet.multi_view_forward, pair axis vmapped + sharded.
 
@@ -99,15 +100,23 @@ def multi_view_forward_spmd(
     stacked2 = jnp.moveaxis(refined_costs, 0, -1)
     cost_agg2 = aam_aggregate(params, stacked2, stage=2)
     prob_agg2 = aam_output_conv(params, cost_agg2, stage=2)
-    depth, depth_up = prob2depth_upsample(prob_agg2, D, depth_start, depth_interval)
 
-    return {
-        "depth": constrain_batch(depth),
-        "depth_up": constrain_batch(depth_up),
+    out = {
         "depth_agg_initial": depth_agg,
         "depth_views": depth_views,
         "refined_prob_volumes": refined_probs,
     }
+    if out_prob_map:
+        depth, depth_up, conf, conf_up = prob2depth_upsample(
+            prob_agg2, D, depth_start, depth_interval, out_prob_map=True
+        )
+        out["confidence"] = constrain_batch(conf)
+        out["confidence_up"] = constrain_batch(conf_up)
+    else:
+        depth, depth_up = prob2depth_upsample(prob_agg2, D, depth_start, depth_interval)
+    out["depth"] = constrain_batch(depth)
+    out["depth_up"] = constrain_batch(depth_up)
+    return out
 
 
 def jit_sharded_forward(mesh: Mesh, cfg: PipelineConfig):

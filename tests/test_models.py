@@ -93,3 +93,17 @@ class TestSweepToDepth:
     def test_metric_identity(self):
         x = jnp.array([1.0, 2.0])
         np.testing.assert_allclose(np.asarray(sweep_to_depth(x, False)), [1.0, 2.0])
+
+
+class TestEightViews:
+    def test_eval_default_view_count(self):
+        """view_num=8 (the eval driver default, reference eval_pointcloud.py:43)."""
+        cfg = PipelineConfig(view_num=8, max_d=8, max_h=32, max_w=32)
+        params = init_params(jax.random.PRNGKey(2), cfg)
+        images, cams = synthetic_scene(view_num=8, H=32, W=32, D=8)
+        out = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg))(
+            params, jnp.asarray(images), jnp.asarray(cams)
+        )
+        assert out["depth"].shape == (1, 8, 8, 1)
+        assert out["depth_views"].shape == (7, 1, 8, 8, 1)
+        assert np.isfinite(np.asarray(out["depth"])).all()

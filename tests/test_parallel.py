@@ -122,3 +122,14 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestSPMDConfidence:
+    def test_out_prob_map(self, params, scene):
+        images, cams = scene
+        out = jax.jit(
+            lambda p, i, c: multi_view_forward_spmd(p, i, c, CFG, out_prob_map=True)
+        )(params, images, cams)
+        assert out["confidence"].shape == (1, 8, 8, 1)
+        assert out["confidence_up"].shape == (1, 32, 32, 1)
+        assert np.isfinite(np.asarray(out["confidence"])).all()
