@@ -122,6 +122,21 @@ def tf_name_map(params: dict) -> Dict[str, str]:
     return mapping
 
 
+def save_params_orbax(path: str, params: dict) -> None:
+    """Orbax checkpoint (async, multi-host-safe) — production alternative to npz."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params)
+    ckptr.wait_until_finished()
+
+
+def load_params_orbax(path: str, template: dict) -> dict:
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer().restore(os.path.abspath(path), template)
+
+
 def save_train_state(path: str, state) -> None:
     """Checkpoint a full TrainState (params + optimizer state + step) for resume.
 

@@ -133,3 +133,16 @@ class TestTrainStateCkpt:
         bad = TrainState({"only": jnp.zeros(3)}, tx.init({"only": jnp.zeros(3)}), jnp.asarray(0))
         with pytest.raises(ValueError):
             load_train_state(p, bad)
+
+
+class TestOrbax:
+    def test_params_roundtrip(self, params, tmp_path):
+        from atvsnet_tpu.utils.ckpt import load_params_orbax, save_params_orbax
+
+        p = str(tmp_path / "orbax_ck")
+        save_params_orbax(p, params)
+        loaded = load_params_orbax(p, params)
+        a, b = _flatten(params), _flatten(loaded)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
