@@ -44,6 +44,9 @@ class PipelineConfig:
     # batch-norm epsilon (tf.layers.batch_normalization default, reference
     # cnn_wrapper/network.py:206).
     bn_eps: float = 1e-3
+    # rematerialize per-pair stages under AD (jax.checkpoint): trades FLOPs for HBM so
+    # full-resolution training fits; no effect on inference.
+    remat: bool = False
 
     # --- fusion (depth_fusion.py defaults, reference atvsnet/depth_fusion.py:230-235
     # and hardcoded values at :210-212) ---

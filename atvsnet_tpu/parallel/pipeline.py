@@ -75,6 +75,8 @@ def multi_view_forward_spmd(
         )
         return out.filtered_cost, out.prob_volume, out.depth_view
 
+    if cfg.remat:
+        base_pair = jax.checkpoint(base_pair)
     filtered_costs, prob_volumes, depth_views = jax.vmap(base_pair)(view_features, view_cams)
     filtered_costs = constrain_pairs(filtered_costs)   # (P, B, D, h, w, C)
     del prob_volumes
@@ -93,6 +95,8 @@ def multi_view_forward_spmd(
             cfg, depth_start, depth_interval,
         )
 
+    if cfg.remat:
+        refine_pair = jax.checkpoint(refine_pair)
     refined_probs, refined_costs = jax.vmap(refine_pair)(depth_views, view_cams, view_shallow)
     refined_costs = constrain_pairs(refined_costs)
 

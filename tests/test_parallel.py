@@ -133,3 +133,23 @@ class TestSPMDConfidence:
         assert out["confidence"].shape == (1, 8, 8, 1)
         assert out["confidence_up"].shape == (1, 32, 32, 1)
         assert np.isfinite(np.asarray(out["confidence"])).all()
+
+
+class TestRemat:
+    def test_remat_train_step_matches(self, params, scene):
+        """jax.checkpoint on the per-pair stages must not change gradients."""
+        images, cams = scene
+        tcfg = TrainConfig(learning_rate=1e-3)
+        tx = make_optimizer(tcfg)
+        rng = np.random.RandomState(0)
+        gt = (0.5 + 0.3 * rng.rand(1, 8, 8, 1)).astype(np.float32)
+        batch = {"images": images, "cams": cams, "depth_gt": jnp.asarray(gt)}
+
+        cfg_r = CFG.replace(remat=True)
+        s0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        _, m_plain = jax.jit(lambda s, b: train_step(s, b, CFG, tcfg, tx))(s0, batch)
+        s0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        _, m_remat = jax.jit(lambda s, b: train_step(s, b, cfg_r, tcfg, tx))(s0, batch)
+        np.testing.assert_allclose(
+            float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-5
+        )
