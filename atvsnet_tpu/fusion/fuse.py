@@ -60,6 +60,39 @@ def load_scene(depth_folder: str, filtered: bool = True):
     )
 
 
+def export_gipuma(dense_folder: str, point_folder: str, depth_subdir: str = "depths_atvsnet") -> None:
+    """Convert a scene's outputs to the gipuma/fusibile on-disk layout
+    (reference depth_fusion.py:113-180): cams/<img>.P projection files,
+    images/ copies, and 2333__<prefix>/{disp.dmb, normals.dmb} per view —
+    for interop with the original CUDA fusibile binary.
+    """
+    import shutil
+
+    from atvsnet_tpu.data.cams import load_cam, projection_matrix
+    from atvsnet_tpu.fusion.dmb import fake_normals, write_dmb, write_p_matrix
+
+    depth_folder = os.path.join(dense_folder, depth_subdir)
+    cam_out = os.path.join(point_folder, "cams")
+    img_out = os.path.join(point_folder, "images")
+    os.makedirs(cam_out, exist_ok=True)
+    os.makedirs(img_out, exist_ok=True)
+
+    for img_path in sorted(glob.glob(os.path.join(depth_folder, "*.jpg"))):
+        name = os.path.basename(img_path)
+        prefix = os.path.splitext(name)[0]
+        cam = load_cam(os.path.join(depth_folder, prefix + ".txt"))
+        write_p_matrix(os.path.join(cam_out, name + ".P"), projection_matrix(cam))
+        shutil.copy(img_path, os.path.join(img_out, name))
+
+        sub = os.path.join(point_folder, "2333__" + prefix)
+        os.makedirs(sub, exist_ok=True)
+        filtered = os.path.join(depth_folder, prefix + "_prob_filtered.pfm")
+        src = filtered if os.path.exists(filtered) else os.path.join(depth_folder, prefix + ".pfm")
+        depth = load_pfm(src)
+        write_dmb(os.path.join(sub, "disp.dmb"), depth)
+        write_dmb(os.path.join(sub, "normals.dmb"), fake_normals(depth))
+
+
 def fuse_scene(
     dense_folder: str,
     prob_threshold: float = 0.8,

@@ -84,3 +84,28 @@ def test_eval_and_fusion_end_to_end(scene_dir, tmp_path):
     points, colors = read_ply(ply)
     assert points.shape[0] > 0
     assert colors.shape == points.shape
+
+
+def test_export_gipuma_layout(scene_dir, tmp_path):
+    """gipuma export after eval: .P files, image copies, disp/normals dmb per view."""
+    from atvsnet_tpu.cli.eval_pointcloud import run_eval_pc
+    from atvsnet_tpu.fusion.dmb import read_dmb, read_p_matrix
+    from atvsnet_tpu.fusion.fuse import export_gipuma, probability_filter
+
+    savepath = str(tmp_path / "eval_out2")
+    run_eval_pc(scene_dir, savepath, scenes=["mini"], view_num=VIEW_NUM,
+                max_d=D, max_w=W, max_h=H)
+    dense = os.path.join(savepath, "mini")
+    probability_filter(os.path.join(dense, "depths_atvsnet"), 0.0)
+    point_folder = str(tmp_path / "points")
+    export_gipuma(dense, point_folder)
+
+    for v in range(VIEW_NUM):
+        name = f"{v:08d}"
+        P = read_p_matrix(os.path.join(point_folder, "cams", name + ".jpg.P"))
+        assert P.shape == (3, 4)
+        assert os.path.exists(os.path.join(point_folder, "images", name + ".jpg"))
+        disp = read_dmb(os.path.join(point_folder, f"2333__{name}", "disp.dmb"))
+        normals = read_dmb(os.path.join(point_folder, f"2333__{name}", "normals.dmb"))
+        assert disp.shape == (H // 4, W // 4)
+        assert normals.shape == (H // 4, W // 4, 3)
