@@ -67,9 +67,11 @@ def _conv3d_decomposed(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarr
 
     if stride == 1:
         x2 = x.reshape(B * D, h, wd, Ci)
-        y0 = _conv2d(x2, w[0], 1).reshape(B, D, h, wd, Co)
-        y1 = _conv2d(x2, w[1], 1).reshape(B, D, h, wd, Co)
-        y2 = _conv2d(x2, w[2], 1).reshape(B, D, h, wd, Co)
+        # one conv with the three depth taps stacked on the OUTPUT axis: a single
+        # input read and a 3x wider (more MXU-efficient) matmul
+        w_cat = jnp.concatenate([w[0], w[1], w[2]], axis=-1)     # (3, 3, Ci, 3*Co)
+        y = _conv2d(x2, w_cat, 1).reshape(B, D, h, wd, 3 * Co)
+        y0, y1, y2 = y[..., :Co], y[..., Co : 2 * Co], y[..., 2 * Co :]
         # SAME pad (1,1) over D: out[d] = y0[d-1] + y1[d] + y2[d+1]
         zero = jnp.zeros_like(y1[:, :1])
         return (
