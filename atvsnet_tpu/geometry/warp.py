@@ -189,6 +189,61 @@ def plane_sweep_warp(
     return out.reshape(B, D, H, W, C)
 
 
+def plane_sweep_warp_with_nearest(image: jnp.ndarray, homographies: jnp.ndarray):
+    """One packed gather yielding BOTH bilinear and nearest plane-sweep warps.
+
+    Returns (bilinear (B,D,H,W,C), nearest (B,D,H,W,C), mask (B,D,H,W,1)). The
+    nearest sample is one of the four gathered corners (round-to-nearest with the
+    reference's invalid-reads-pixel-(0,0) behavior, homography_warping.py:45-56), so
+    callers needing both filtrations of the SAME source (e.g. the refinement's
+    geometric volume + visual hull) pay for a single gather.
+    """
+    B, H, W, C = image.shape
+    D = homographies.shape[1]
+    x, y = _homography_coords(homographies, H, W)
+    x = x.reshape(B, D * H * W).astype(jnp.float32) - 0.5
+    y = y.reshape(B, D * H * W).astype(jnp.float32) - 0.5
+
+    finite = jnp.isfinite(x) & jnp.isfinite(y)
+    valid = finite & (x >= 0) & (y >= 0) & (x < W - 1) & (y < H - 1)
+    x = jnp.where(valid, x, 0.0)
+    y = jnp.where(valid, y, 0.0)
+
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.where(valid, x0 + 1, 0)
+    y1 = jnp.where(valid, y0 + 1, 0)
+    x0 = jnp.clip(x0, 0, W - 1)
+    y0 = jnp.clip(y0, 0, H - 1)
+
+    table = _pack_corners(image).reshape(B, H * W, 4 * C)
+    g = _gather_pixels(table, y0, x0, W)
+    ga, gb, gc, gd = g[..., :C], g[..., C : 2 * C], g[..., 2 * C : 3 * C], g[..., 3 * C :]
+
+    x0f = x0.astype(jnp.float32)
+    x1f = x1.astype(jnp.float32)
+    y0f = y0.astype(jnp.float32)
+    y1f = y1.astype(jnp.float32)
+    wa = ((y1f - y) * (x1f - x))[..., None].astype(image.dtype)
+    wb = ((y1f - y) * (x - x0f))[..., None].astype(image.dtype)
+    wc = ((y - y0f) * (x1f - x))[..., None].astype(image.dtype)
+    wd = ((y - y0f) * (x - x0f))[..., None].astype(image.dtype)
+    bilinear = wa * ga + wb * gb + wc * gc + wd * gd
+
+    # nearest = the rounded corner; jnp.round is half-to-even like tf.round. For
+    # invalid samples x=y=0 -> corner a = pixel (0,0), matching the reference.
+    right = (jnp.round(x).astype(jnp.int32) > x0)[..., None]
+    down = (jnp.round(y).astype(jnp.int32) > y0)[..., None]
+    nearest = jnp.where(down, jnp.where(right, gd, gc), jnp.where(right, gb, ga))
+
+    shape = (B, D, H, W)
+    return (
+        bilinear.reshape(shape + (C,)),
+        nearest.reshape(shape + (C,)),
+        valid.reshape(shape + (1,)),
+    )
+
+
 def _relative_projection(left_cam: jnp.ndarray, right_cam: jnp.ndarray):
     """M = K_r R_r R_l^T K_l^{-1} (B,3,3) and v = K_r (R_r c_l + t_r) (B,3,1).
 

@@ -15,7 +15,12 @@ import jax.numpy as jnp
 
 from atvsnet_tpu.config import PipelineConfig
 from atvsnet_tpu.geometry.homography import get_homographies, sweep_depths
-from atvsnet_tpu.geometry.warp import plane_sweep_warp, transform_depth, warp_by_depth
+from atvsnet_tpu.geometry.warp import (
+    plane_sweep_warp,
+    plane_sweep_warp_with_nearest,
+    transform_depth,
+    warp_by_depth,
+)
 from atvsnet_tpu.geometry.visual_hull import get_visual_hull
 from atvsnet_tpu.geometry.depth_regression import prob2depth, prob2depth_upsample
 from atvsnet_tpu.nn import layers as L
@@ -161,14 +166,16 @@ def refinement(
     depth_view_trans = transform_depth(depth_view, view_cam, ref_cam, inv)
     homographies = get_homographies(ref_cam, view_cam, D, depth_start, depth_interval, inv)
 
-    # --- photometric + geometric sweeps fused into ONE gather (same homographies
-    # and therefore identical masks; reference warps separately, model.py:276,294) ---
+    # --- photometric + geometric + visual-hull sweeps fused into ONE gather: all
+    # three warp the same sources by the same homographies (reference warps them
+    # separately at model.py:276,294 and homography_warping.py:376) ---
     stacked_src = jnp.concatenate(
         [shallow_view, depth_view_trans.astype(shallow_view.dtype)], axis=-1
     )
-    warped_all, mask = plane_sweep_warp(stacked_src, homographies, output_mask=True)
+    warped_all, warped_near, mask = plane_sweep_warp_with_nearest(stacked_src, homographies)
     warped_feat = warped_all[..., :F]
     warped_depth = warped_all[..., F:].astype(jnp.float32)
+    hull_depth = warped_near[..., F:].astype(jnp.float32)  # nearest, for the hull
     mask_geo = mask
 
     # photometric L1 cost volume over shallow features (model.py:270-280)
@@ -194,12 +201,20 @@ def refinement(
     )
     geo_err = jnp.abs(warped_d - depth_ref) * mask_g.astype(jnp.float32)  # (B, h, w, 1)
 
-    # --- visual hull over the pair's initial depths (model.py:321-324) ---
-    pair_depths = jnp.stack([depth_ref[..., 0], depth_view[..., 0]], axis=1)  # (B, 2, h, w)
-    pair_cams = jnp.stack([ref_cam, view_cam], axis=1)                        # (B, 2, 2, 4, 4)
-    vis_hull = get_visual_hull(
-        pair_depths, pair_cams, D, depth_start, depth_interval, ref_id=0, inverse_depth=inv
-    )
+    # --- visual hull over the pair's initial depths (model.py:321-324), computed
+    # inline from the fused nearest warp (same math as geometry.get_visual_hull for
+    # the 2-view case; the view term reuses hull_depth from the shared gather) ---
+    ref_d = depth_ref[..., 0][:, None].astype(jnp.float32)   # (B, 1, h, w)
+    sweep_hw = sweep[..., 0]                                 # (B, D, 1, 1)
+
+    def free_space(d_bdhw):
+        valid_d = d_bdhw > 0
+        cmp = d_bdhw > sweep_hw if inv else sweep_hw > d_bdhw
+        return jnp.where(valid_d & cmp, 1.0, 0.0)
+
+    vis_hull = (free_space(jnp.broadcast_to(ref_d, (B, D, h, w)))
+                + free_space(hull_depth[..., 0])) / 2.0
+    vis_hull = vis_hull[..., None]
 
     # --- refinement net (model.py:329-339), structured groups ---
     dt = cfg.dtype

@@ -100,3 +100,61 @@ class TestTiledUpsample:
         _, d_up, _, c_up = prob2depth_upsample(pv, 16, ds, di, out_prob_map=True)
         np.testing.assert_allclose(np.asarray(d_up), np.asarray(d_ref), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(c_up), np.asarray(c_ref), rtol=1e-5, atol=1e-5)
+
+
+class TestFusedNearestWarp:
+    def test_matches_separate_warps(self):
+        from atvsnet_tpu.geometry.homography import get_homographies
+        from atvsnet_tpu.geometry.warp import plane_sweep_warp, plane_sweep_warp_with_nearest
+        from tests._utils import synthetic_scene
+
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(1, 12, 16, 5).astype(np.float32))
+        _, cams = synthetic_scene(view_num=2, H=48, W=64, D=6)
+        cams = jnp.asarray(cams)
+        H6 = get_homographies(cams[:, 0], cams[:, 1], 6, jnp.array([0.4]), jnp.array([0.05]))
+
+        bi, near, mask = plane_sweep_warp_with_nearest(img, H6)
+        bi_ref, mask_ref = plane_sweep_warp(img, H6, output_mask=True)
+        near_ref = plane_sweep_warp(img, H6, method="nearest")
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(bi_ref), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
+        np.testing.assert_allclose(np.asarray(near), np.asarray(near_ref), atol=1e-6)
+
+    def test_refinement_hull_matches_get_visual_hull(self):
+        """The inline pair visual hull must equal geometry.get_visual_hull."""
+        from atvsnet_tpu.geometry.visual_hull import get_visual_hull
+        from atvsnet_tpu.geometry.warp import (
+            plane_sweep_warp_with_nearest,
+            transform_depth,
+        )
+        from atvsnet_tpu.geometry.homography import get_homographies, sweep_depths
+        from tests._utils import synthetic_scene
+
+        rng = np.random.RandomState(1)
+        B, h, w, D = 1, 12, 16, 6
+        _, cams = synthetic_scene(view_num=2, H=48, W=64, D=D)
+        cams = jnp.asarray(cams)
+        ds, di = jnp.array([0.4]), jnp.array([0.05])
+        depth_ref = jnp.asarray((0.4 + 0.3 * rng.rand(B, h, w, 1)).astype(np.float32))
+        depth_view = jnp.asarray((0.4 + 0.3 * rng.rand(B, h, w, 1)).astype(np.float32))
+
+        pair_depths = jnp.stack([depth_ref[..., 0], depth_view[..., 0]], axis=1)
+        pair_cams = jnp.stack([cams[:, 0], cams[:, 1]], axis=1)
+        hull_ref = get_visual_hull(pair_depths, pair_cams, D, ds, di, ref_id=0)
+
+        homos = get_homographies(cams[:, 0], cams[:, 1], D, ds, di)
+        dvt = transform_depth(depth_view, cams[:, 1], cams[:, 0])
+        _, near, _ = plane_sweep_warp_with_nearest(dvt, homos)
+        sweep = sweep_depths(ds, di, D)[:, :, None, None]
+
+        def free_space(d):
+            return jnp.where((d > 0) & (d > sweep), 1.0, 0.0)
+
+        hull_inline = (
+            free_space(jnp.broadcast_to(depth_ref[..., 0][:, None], (B, D, h, w)))
+            + free_space(near[..., 0])
+        ) / 2.0
+        np.testing.assert_allclose(
+            np.asarray(hull_inline), np.asarray(hull_ref)[..., 0], atol=1e-6
+        )
