@@ -47,6 +47,14 @@ class PipelineConfig:
     # rematerialize per-pair stages under AD (jax.checkpoint): trades FLOPs for HBM so
     # full-resolution training fits; no effect on inference.
     remat: bool = False
+    # Reproduce the reference's per-pair visual-hull camera-indexing bug: refinement
+    # passes the FULL cams stack into get_visual_hull with view_num=2
+    # (reference atvsnet/model.py:321-324 + homography_warping.py:344-358), so the
+    # hull's view-depth term always uses camera index 1 even for pairs (0,2)..(0,N-1).
+    # The published checkpoint was trained with this behavior — enable for
+    # bit-comparable outputs with reference-trained weights. Default False uses the
+    # pair's own cameras (geometrically correct).
+    reference_compat: bool = False
 
     # --- fusion (depth_fusion.py defaults, reference atvsnet/depth_fusion.py:230-235
     # and hardcoded values at :210-212) ---

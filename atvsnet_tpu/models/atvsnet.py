@@ -78,6 +78,10 @@ def multi_view_forward(
         conf_agg = None
 
     # ---- stage 3: per-pair refinement (reference example.py:160-174) ----
+    # reference_compat: the reference's per-pair visual hull always reads camera 1
+    # of the full stack (model.py:321-324 with view_num=2); see refinement().
+    hull_cam = cams[:, 1] if cfg.reference_compat else None
+
     def refine_step(carry, inp):
         view_i, depth_view = inp
         view_cam = jnp.take(cams, view_i, axis=1)
@@ -85,7 +89,7 @@ def multi_view_forward(
         refined_prob, refined_cost = tvsnet_refine(
             params, depth_agg, depth_view, prob_agg, cost_agg,
             ref_cam, view_cam, shallow_ref, shallow_view,
-            cfg, depth_start, depth_interval,
+            cfg, depth_start, depth_interval, hull_view_cam=hull_cam,
         )
         return carry, (refined_prob, refined_cost)
 

@@ -148,6 +148,7 @@ def refinement(
     cfg: PipelineConfig,
     depth_start: jnp.ndarray,
     depth_interval: jnp.ndarray,
+    hull_view_cam: Optional[jnp.ndarray] = None,
 ):
     """Geometry-aware refinement of one pair (reference model.py:227-339).
 
@@ -155,9 +156,13 @@ def refinement(
     shallow_*: (B, h, w, 16) low-level features; prob_vol: (B, D, h, w).
     Returns (cost_residual (B, D, h, w, crm_f), prob_residual (B, D, h, w)).
 
-    Deviation noted: the reference's per-pair visual hull indexes camera 1 regardless
-    of the pair's actual view index (model.py:323 passes the full cams stack with
-    2-entry depth stacks); here the hull always uses the pair's own cameras.
+    hull_view_cam: when set (cfg.reference_compat), the visual hull's view term uses
+    THIS camera instead of the pair's own view_cam, reproducing the reference bug
+    where get_visual_hull receives the FULL cams stack with view_num=2 and therefore
+    always reads camera index 1 regardless of the pair's actual view index
+    (model.py:321-324 + homography_warping.py:344-358). When None (default) the hull
+    uses the pair's own cameras — geometrically correct — and its nearest warp is
+    fused into the shared plane-sweep gather.
     """
     D = cfg.max_d
     inv = cfg.inverse_depth
@@ -175,8 +180,17 @@ def refinement(
     warped_all, warped_near, mask = plane_sweep_warp_with_nearest(stacked_src, homographies)
     warped_feat = warped_all[..., :F]
     warped_depth = warped_all[..., F:].astype(jnp.float32)
-    hull_depth = warped_near[..., F:].astype(jnp.float32)  # nearest, for the hull
     mask_geo = mask
+    if hull_view_cam is None:
+        hull_depth = warped_near[..., F:].astype(jnp.float32)  # nearest, for the hull
+    else:
+        # reference_compat: the hull's view depth is transformed + swept with the
+        # (possibly wrong) hull camera, exactly as the reference graph builds it.
+        dvt_hull = transform_depth(depth_view, hull_view_cam, ref_cam, inv)
+        h_hull = get_homographies(ref_cam, hull_view_cam, D, depth_start, depth_interval, inv)
+        hull_depth = plane_sweep_warp(
+            dvt_hull.astype(jnp.float32), h_hull, method="nearest"
+        )
 
     # photometric L1 cost volume over shallow features (model.py:270-280)
     cost_vol_photo = jnp.abs(warped_feat - shallow_ref[:, None]) * mask.astype(shallow_ref.dtype)
@@ -250,11 +264,13 @@ def tvsnet_refine(
     cfg: PipelineConfig,
     depth_start: jnp.ndarray,
     depth_interval: jnp.ndarray,
+    hull_view_cam: Optional[jnp.ndarray] = None,
 ):
     """Residual refinement of (prob, cost) volumes — reference model.py:428-441."""
     cost_residual, prob_residual = refinement(
         params, depth_ref, depth_view, ref_cam, view_cam,
         shallow_ref, shallow_view, prob_vol, cfg, depth_start, depth_interval,
+        hull_view_cam=hull_view_cam,
     )
     refined_prob = prob_vol + prob_residual.astype(prob_vol.dtype)
     refined_cost = filtered_cost + cost_residual.astype(filtered_cost.dtype)

@@ -377,8 +377,14 @@ def glorot_normal(key, shape) -> jnp.ndarray:
 
 
 def key_for(key, name: str):
-    """Deterministic per-layer-name subkey (stable under code reordering)."""
-    h = int(np.uint32(abs(hash(name)) % (2**31)))
+    """Deterministic per-layer-name subkey (stable under code reordering).
+
+    Uses crc32, NOT the builtin hash(): str hashing is salted per process
+    (PYTHONHASHSEED), which would make seeded inits differ across processes.
+    """
+    import zlib
+
+    h = int(zlib.crc32(name.encode("utf-8")) & 0x7FFFFFFF)
     return jax.random.fold_in(key, h)
 
 
