@@ -61,8 +61,13 @@ class PipelineConfig:
     prob_threshold: float = 0.8
     disp_threshold: float = 0.01
     num_consistent: int = 2
+    # depth range pre-filter (cli/depth_fusion.py defaults; the reference parses the
+    # matching --depth_min/--depth_max but its kernel consumers are commented out,
+    # fusibile.cu:364-365 — here they actually filter, fusion/consistency.py)
     fusion_depth_min: float = 0.01
     fusion_depth_max: float = 100000.0
+    # normal-angle consistency threshold, consumed by fuse_depth_maps(normals=...);
+    # 360 deg == disabled (the pipeline uses fake normals, depth_fusion.py:92-111)
     fusion_normal_threshold_deg: float = 360.0
 
     # --- network widths (reference cnn_wrapper/atvsnet.py) ---

@@ -77,11 +77,10 @@ def select_views(
     NOTE: the reference pipeline DISABLES this (viewSel=false at main.cpp:721 keeps
     all views); provided for gipuma-compatible workflows. Returns selected indices.
     """
-    P, M_inv, centers, _ = camera_geometry(cams)
+    _, M_inv, _, _ = camera_geometry(cams)
     center_px = np.array([width / 2.0, height / 2.0, 1.0])
 
     def view_vector(i):
-        X = M_inv[i] @ (center_px - P[i][:, 3] * 0)  # direction through image center
         # direction of the ray through the principal pixel: M_inv @ p (not translated)
         v = M_inv[i] @ center_px
         return v / (np.linalg.norm(v) + 1e-12)
@@ -116,7 +115,7 @@ def camera_geometry(cams: np.ndarray):
     )
 
 
-@partial(jax.jit, static_argnames=("disp_thresh", "num_consistent"))
+@partial(jax.jit, static_argnames=("disp_thresh", "num_consistent", "normal_thresh_rad"))
 def _fuse_one_ref(
     ref_idx: jnp.ndarray,
     depths: jnp.ndarray,    # (V, H, W) metric depth, 0 = invalid
@@ -127,6 +126,8 @@ def _fuse_one_ref(
     f: jnp.ndarray,         # (V,)
     disp_thresh: float,
     num_consistent: int,
+    normals: jnp.ndarray | None = None,   # (V, H, W, 3) or None
+    normal_thresh_rad: float = float(np.pi * 2),
 ):
     V, H, W = depths.shape
     depth_r = jnp.take(depths, ref_idx, axis=0)            # (H, W)
@@ -134,6 +135,7 @@ def _fuse_one_ref(
     P4_r = jnp.take(P, ref_idx, axis=0)[:, 3]              # (3,)
     C_r = jnp.take(centers, ref_idx, axis=0)
     f_r = jnp.take(f, ref_idx, axis=0)
+    n_ref = None if normals is None else jnp.take(normals, ref_idx, axis=0)  # (H, W, 3)
 
     # back-project at INTEGER pixel coords (fusibile.cu:56-65 uses p directly)
     xs = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
@@ -149,11 +151,12 @@ def _fuse_one_ref(
         py = proj[..., 1] / z
         in_bounds = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (i != ref_idx)
 
-        sampled = _bilinear_sample(
-            jnp.concatenate([depths[i][..., None], images[i]], axis=-1), px, py
-        )
+        src = [depths[i][..., None], images[i]]
+        if normals is not None:
+            src.append(normals[i])
+        sampled = _bilinear_sample(jnp.concatenate(src, axis=-1), px, py)
         z_i = sampled[..., 0]
-        rgb_i = sampled[..., 1:]
+        rgb_i = sampled[..., 1:4]
 
         baseline = jnp.linalg.norm(C_r - centers[i])
         disp = f_r * baseline / z
@@ -161,16 +164,35 @@ def _fuse_one_ref(
         # relative disparity check (fusibile.cu:211); depth 0 -> disp inf -> nan -> False
         rel = jnp.abs(disp - disp_i) / disp
         ok = in_bounds & (rel < disp_thresh)
-        # (normal-angle test omitted: pipeline threshold 360 deg always passes)
-        return ok, jnp.where(ok[..., None], rgb_i, 0.0)
 
-    ok_all, rgb_all = jax.vmap(check_view)(jnp.arange(V))   # (V, H, W), (V, H, W, 3)
+        if normals is None:
+            # pipeline path: fake unit normals + 360 deg threshold always pass
+            # (depth_fusion.py:92-111, fusibile.cu:213-214 trivially true)
+            return ok, jnp.where(ok[..., None], rgb_i, 0.0), jnp.zeros((H, W, 3))
+
+        # normal-angle consistency (fusibile.cu:213-214 via getAngle_cu:118-126):
+        # acos of the RAW dot product (no normalization, like the CUDA code); NaN
+        # (dot product drifted past 1 on identical vectors) counts as angle 0.
+        n_i = sampled[..., 4:7]
+        ang = jnp.arccos(jnp.sum(n_i * n_ref, axis=-1))
+        ang = jnp.where(jnp.isnan(ang), 0.0, ang)
+        ok = ok & (ang < normal_thresh_rad)
+        keep = ok[..., None]
+        return ok, jnp.where(keep, rgb_i, 0.0), jnp.where(keep, n_i, 0.0)
+
+    ok_all, rgb_all, nrm_all = jax.vmap(check_view)(jnp.arange(V))
     count = jnp.sum(ok_all.astype(jnp.int32), axis=0)       # (H, W)
     ref_rgb = jnp.take(images, ref_idx, axis=0)
     avg_rgb = (ref_rgb + jnp.sum(rgb_all, axis=0)) / (count[..., None] + 1.0)
 
     emit = count >= num_consistent                          # (H, W)
-    return emit, X, avg_rgb
+    if normals is None:
+        return emit, X, avg_rgb, None
+    # consistent_normal accumulation (fusibile.cu:228,243): ref normal + passing
+    # view normals, averaged over count+1 (points themselves are NOT averaged —
+    # the reference's consistent_X accumulation is commented out, fusibile.cu:226)
+    avg_nrm = (n_ref + jnp.sum(nrm_all, axis=0)) / (count[..., None] + 1.0)
+    return emit, X, avg_rgb, avg_nrm
 
 
 def fuse_depth_maps(
@@ -180,33 +202,62 @@ def fuse_depth_maps(
     disp_thresh: float = 0.01,
     num_consistent: int = 2,
     batch_refs: int = 1,
+    normals: np.ndarray | None = None,
+    normal_thresh_deg: float = 360.0,
+    depth_min: float | None = None,
+    depth_max: float | None = None,
 ):
     """Fuse all views' depth maps into one point set.
 
     depths (V, H, W) metric depth (0 = filtered), images (V, H, W, 3) uint8/float,
     cams (V, 2, 4, 4). Returns (points (M, 3) float32, colors (M, 3) uint8) — every
     camera acts as reference in turn, like the host loop at fusibile.cu:425-430.
+
+    General (non-pipeline) surface:
+    - normals (V, H, W, 3) + normal_thresh_deg < 360 enables the normal-angle
+      consistency test (fusibile.cu:213-214); the return gains a third element,
+      the averaged consistent normals (M, 3) float32.
+    - depth_min/depth_max zero out-of-range depths before fusion. NOTE: the
+      reference parses --depth_min/--depth_max (main.cpp:303-309) and converts them
+      to disparity bounds (main.cpp:717-718), but the kernel consumers are commented
+      out (fusibile.cu:364-365) — there they are inert; here they filter.
     """
     V = depths.shape[0]
     P, M_inv, centers, f = camera_geometry(cams)
+    depths = np.asarray(depths, np.float32)
+    if depth_min is not None or depth_max is not None:
+        lo = 0.0 if depth_min is None else float(depth_min)
+        hi = np.inf if depth_max is None else float(depth_max)
+        depths = np.where((depths >= lo) & (depths <= hi), depths, 0.0)
     depths_j = jnp.asarray(depths, jnp.float32)
     images_j = jnp.asarray(images, jnp.float32)
     P_j, Mi_j, C_j, f_j = map(jnp.asarray, (P, M_inv, centers, f))
+    normals_j = None if normals is None else jnp.asarray(normals, jnp.float32)
 
     from atvsnet_tpu.native import compact_points
 
-    pts_out, rgb_out = [], []
+    pts_out, rgb_out, nrm_out = [], [], []
     for r in range(V):
-        emit, X, rgb = _fuse_one_ref(
+        emit, X, rgb, nrm = _fuse_one_ref(
             jnp.asarray(r), depths_j, images_j, P_j, Mi_j, C_j, f_j,
             disp_thresh=float(disp_thresh), num_consistent=int(num_consistent),
+            normals=normals_j, normal_thresh_rad=float(np.deg2rad(normal_thresh_deg)),
         )
         # host-side compaction of the fixed-size mask output (C++/OpenMP when built;
         # non-finite coordinates zeroed per displayUtils.h:113-118)
-        pts, cols = compact_points(np.asarray(emit), np.asarray(X), np.asarray(rgb))
+        emit_np = np.asarray(emit)
+        pts, cols = compact_points(emit_np, np.asarray(X), np.asarray(rgb))
         if pts.shape[0]:
             pts_out.append(pts)
             rgb_out.append(cols)
+            if nrm is not None:
+                # same row-major order as the compaction
+                nrm_out.append(np.asarray(nrm).reshape(-1, 3)[emit_np.reshape(-1).astype(bool)])
     if not pts_out:
-        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8)
+        z3 = np.zeros((0, 3), np.float32)
+        if normals is not None:
+            return z3, np.zeros((0, 3), np.uint8), z3.copy()
+        return z3, np.zeros((0, 3), np.uint8)
+    if normals is not None:
+        return np.concatenate(pts_out), np.concatenate(rgb_out), np.concatenate(nrm_out)
     return np.concatenate(pts_out), np.concatenate(rgb_out)

@@ -100,10 +100,13 @@ def fuse_scene(
     num_consistent: int = 2,
     out_ply: Optional[str] = None,
     depth_subdir: str = "depths_atvsnet",
+    depth_min: float = 0.01,
+    depth_max: float = 100000.0,
 ) -> str:
     """End-to-end: filter by confidence, fuse, write final3d_model.ply.
 
-    Matches the settings wired at reference depth_fusion.py:205-235.
+    Matches the settings wired at reference depth_fusion.py:205-235 (depth_min/max
+    match the --depth_min/--depth_max values passed at :210-211,218-219).
     """
     depth_folder = os.path.join(dense_folder, depth_subdir)
     log.info(f"probability filter (tau={prob_threshold}) in {depth_folder}")
@@ -112,7 +115,8 @@ def fuse_scene(
     depths, images, cams, names = load_scene(depth_folder, filtered=True)
     log.info(f"fusing {len(names)} views ({depths.shape[1]}x{depths.shape[2]})")
     points, colors_bgr = fuse_depth_maps(
-        depths, images, cams, disp_thresh=disp_threshold, num_consistent=num_consistent
+        depths, images, cams, disp_thresh=disp_threshold, num_consistent=num_consistent,
+        depth_min=depth_min, depth_max=depth_max,
     )
     colors_rgb = colors_bgr[:, ::-1]  # cv2 loads BGR; PLY stores RGB (displayUtils.h:85-88)
 

@@ -15,6 +15,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from atvsnet_tpu.config import PipelineConfig, TrainConfig
+from atvsnet_tpu.geometry.warp import transform_depth, warp_by_depth
 from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd
 
 
@@ -34,12 +35,20 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(*chain)
 
 
-def masked_l1(pred: jnp.ndarray, gt: jnp.ndarray, interval: jnp.ndarray) -> jnp.ndarray:
+def masked_l1(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    interval: jnp.ndarray,
+    extra_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Mean |pred - gt| / depth_interval over gt-valid pixels (MVSNet-style).
 
-    pred, gt: (B, h, w, 1) in sweep space; interval: (B,).
+    pred, gt: (B, h, w, 1) in sweep space; interval: (B,); extra_mask: optional
+    additional (B, h, w, 1) validity (e.g. warp in-bounds mask).
     """
     valid = (gt > 0).astype(jnp.float32)
+    if extra_mask is not None:
+        valid = valid * extra_mask.astype(jnp.float32)
     err = jnp.abs(pred.astype(jnp.float32) - gt.astype(jnp.float32)) * valid
     scale = interval.astype(jnp.float32)[:, None, None, None]
     return jnp.sum(err / scale) / jnp.maximum(jnp.sum(valid), 1.0)
@@ -60,12 +69,42 @@ def training_loss(
         tcfg.loss_weight_agg * masked_l1(out["depth_agg_initial"], gt, interval)
         + tcfg.loss_weight_refined * masked_l1(out["depth"], gt, interval)
     )
-    # supervise every per-pair swapped depth against the (reference-frame) gt warped?
-    # the reference never trains; we supervise only reference-frame outputs and keep the
-    # per-pair initial depths as an auxiliary mean term.
-    aux = jax.vmap(lambda d: masked_l1(d, gt, interval))(out["depth_views"]).mean()
+    aux = aux_view_loss(out["depth_views"], batch["cams"], gt, interval, cfg)
     loss = loss + tcfg.loss_weight_initial * aux
-    return loss, {"loss": loss}
+    return loss, {"loss": loss, "loss_aux": aux}
+
+
+def aux_view_loss(
+    depth_views: jnp.ndarray,
+    cams: jnp.ndarray,
+    gt: jnp.ndarray,
+    interval: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> jnp.ndarray:
+    """Auxiliary supervision of the per-pair swapped depths.
+
+    depth_views[p] lives on VIEW p+1's pixel grid in view p+1's frame, so it cannot
+    be compared to the reference-frame gt directly. Re-express it in the reference
+    frame (transform_depth) and resample it onto the reference grid at the gt
+    geometry (warp_by_depth, nearest) — the same machinery refinement's
+    geo-consistency error uses (models/tvsnet.py geo_err) — then take the masked L1
+    where the warp is in-bounds and both depths are valid. For view depths exactly
+    consistent with gt this term is zero (tests/test_parallel.py).
+
+    depth_views: (P, B, h, w, 1); cams: (B, N, 2, 4, 4); gt: (B, h, w, 1) sweep-space.
+    """
+    ref_cam = cams[:, 0]
+    view_cams = jnp.moveaxis(cams[:, 1:], 1, 0)  # (P, B, 2, 4, 4)
+
+    def view_term(depth_view, view_cam):
+        dvt = transform_depth(depth_view, view_cam, ref_cam, cfg.inverse_depth)
+        warped, m = warp_by_depth(
+            dvt, ref_cam, view_cam, gt, cfg.inverse_depth, method="nearest", output_mask=True
+        )
+        valid = m.astype(jnp.float32) * (warped > 0).astype(jnp.float32)
+        return masked_l1(warped, gt, interval, extra_mask=valid)
+
+    return jax.vmap(view_term)(depth_views, view_cams).mean()
 
 
 def train_step(

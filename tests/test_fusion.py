@@ -131,3 +131,49 @@ class TestViewSelection:
         cams = np.stack(cams)
         sel = select_views(cams, 0, width=32, height=24, min_angle_deg=10, max_angle_deg=30)
         assert list(sel) == [2]
+
+class TestGeneralSurface:
+    """Non-pipeline fusibile features: normal-angle test + depth range filter."""
+
+    def test_normal_angle_test_accepts_aligned(self):
+        depths, images, cams = plane_scene(V=3)
+        V, H, W = depths.shape
+        normals = np.broadcast_to(
+            np.array([0.0, 0.0, 1.0], np.float32), (V, H, W, 3)
+        ).copy()
+        base, _ = fuse_depth_maps(depths, images, cams, 0.01, 2)
+        pts, cols, nrms = fuse_depth_maps(
+            depths, images, cams, 0.01, 2, normals=normals, normal_thresh_deg=10.0
+        )
+        assert pts.shape == base.shape
+        # identical normals average back to themselves (fusibile.cu:228,243)
+        np.testing.assert_allclose(nrms, np.tile([[0.0, 0.0, 1.0]], (pts.shape[0], 1)), atol=1e-5)
+
+    def test_normal_angle_test_rejects_rotated(self):
+        depths, images, cams = plane_scene(V=3)
+        V, H, W = depths.shape
+        normals = np.broadcast_to(
+            np.array([0.0, 0.0, 1.0], np.float32), (V, H, W, 3)
+        ).copy()
+        a = 0.3  # rotate views 1,2 normals by ~17.2 deg about x
+        normals[1:] = np.array([0.0, np.sin(a), np.cos(a)], np.float32)
+        # threshold below the rotation: every ref view sees <2 consistent neighbors
+        pts, _, _ = fuse_depth_maps(
+            depths, images, cams, 0.01, 2, normals=normals,
+            normal_thresh_deg=np.rad2deg(0.2),
+        )
+        assert pts.shape[0] == 0
+        # threshold above: back to full consistency
+        pts2, _, _ = fuse_depth_maps(
+            depths, images, cams, 0.01, 2, normals=normals,
+            normal_thresh_deg=np.rad2deg(0.5),
+        )
+        assert pts2.shape[0] > 0
+
+    def test_depth_range_filter(self):
+        depths, images, cams = plane_scene(V=3, z=4.0)
+        none, _ = fuse_depth_maps(depths, images, cams, 0.01, 2, depth_max=3.0)
+        assert none.shape[0] == 0
+        same, _ = fuse_depth_maps(depths, images, cams, 0.01, 2, depth_min=3.0, depth_max=5.0)
+        base, _ = fuse_depth_maps(depths, images, cams, 0.01, 2)
+        assert same.shape == base.shape

@@ -153,3 +153,42 @@ class TestRemat:
         np.testing.assert_allclose(
             float(m_plain["loss"]), float(m_remat["loss"]), rtol=1e-5
         )
+
+class TestAuxViewLoss:
+    def test_zero_for_perfect_consistent_depths(self):
+        """Lateral-translation rig + constant-depth plane: view depths == gt in each
+        frame, z unchanged by the translation -> aux term must be exactly zero."""
+        from atvsnet_tpu.models.train import aux_view_loss
+        from tests._utils import make_cam
+
+        B, h, w, N = 1, 8, 8, 3
+        K = np.array([[8.0, 0.0, 4.0], [0.0, 8.0, 4.0], [0.0, 0.0, 1.0]])
+        cams = np.stack(
+            [
+                make_cam(K, np.eye(3), np.array([0.2 * v, 0.0, 0.0]),
+                         depth_start=0.5, depth_interval=0.05, num_d=8)
+                for v in range(N)
+            ]
+        )[None].astype(np.float32)
+        inv_depth = 0.8  # constant plane, sweep (inverse-depth) space
+        gt = np.full((B, h, w, 1), inv_depth, np.float32)
+        depth_views = np.full((N - 1, B, h, w, 1), inv_depth, np.float32)
+        aux = aux_view_loss(
+            jnp.asarray(depth_views), jnp.asarray(cams), jnp.asarray(gt),
+            jnp.array([0.05]), CFG,
+        )
+        assert float(aux) == 0.0
+
+    def test_nonzero_for_wrong_depths(self):
+        from atvsnet_tpu.models.train import aux_view_loss
+        from tests._utils import synthetic_scene
+
+        _, cams = synthetic_scene(view_num=3, H=32, W=32, D=8)
+        B, h, w = 1, 8, 8
+        gt = np.full((B, h, w, 1), 0.8, np.float32)
+        depth_views = np.full((2, B, h, w, 1), 0.6, np.float32)
+        aux = aux_view_loss(
+            jnp.asarray(depth_views), jnp.asarray(cams), jnp.asarray(gt),
+            jnp.array([0.05]), CFG,
+        )
+        assert float(aux) > 0.1

@@ -4,7 +4,8 @@
 
 Trains the full pipeline (fwd + bwd through warps, CRM, attention, refinement,
 soft-argmin) on ONE fixed batch; the loss must drop well below its start.
-Verified on TPU v5e 2026-08-16: 8.81 -> 1.37 over 120 steps.
+Verified on TPU v5e 2026-08-16 (geometry-correct aux view loss): 9.03 -> 3.90
+over 60 steps.
 """
 
 import argparse
