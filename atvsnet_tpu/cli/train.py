@@ -39,7 +39,23 @@ def synthetic_batch(cfg: PipelineConfig, rng: np.random.RandomState):
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--data_root", default=None, help="MVS-Synth-layout dataset root")
+    ap.add_argument("--data_root", default=None, help="dataset root (layout per --dataset)")
+    ap.add_argument(
+        "--dataset", default="mvs_syn", choices=["mvs_syn", "colmap"],
+        help="mvs_syn: MVS-Synth/DeMoN layout (data/mvs_syn.py); colmap: ETH3D "
+        "COLMAP-sparse layout (data/colmap_train.py, needs --gt_root)",
+    )
+    ap.add_argument("--gt_root", default=None, help="ETH3D gt depth root (colmap dataset)")
+    ap.add_argument(
+        "--scenes", default=None,
+        help="comma-separated scene list (colmap dataset; default: the 5 ETH3D "
+        "training scenes, preprocess_colmap.py:404-406)",
+    )
+    ap.add_argument(
+        "--multi_depth", action="store_true",
+        help="mvs_syn: also load per-view gt depths and supervise the swapped "
+        "per-pair depths directly (preprocess_mvs_syn.py:485-582 sample layout)",
+    )
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--view_num", type=int, default=3)
@@ -84,7 +100,29 @@ def main() -> None:
         log.info(f"resumed from {args.ckpt} at step {int(state.step)}")
 
     rng = np.random.RandomState(args.seed)
-    if args.data_root and not args.synthetic:
+    if args.data_root and not args.synthetic and args.dataset == "colmap":
+        from atvsnet_tpu.data.colmap_train import (
+            eth3d_training_samples,
+            load_colmap_training_sample,
+        )
+
+        if not args.gt_root:
+            ap.error("--dataset colmap requires --gt_root")
+        samples, sparses = eth3d_training_samples(
+            args.data_root, args.gt_root, cfg.view_num,
+            scenes=args.scenes.split(",") if args.scenes else None,
+        )
+        log.info(f"{len(samples)} COLMAP training samples")
+
+        def next_batch():
+            s = samples[rng.randint(len(samples))]
+            return load_colmap_training_sample(
+                sparses[s.scene_idx], s.ref_id, s.view_ids, s.gt_depth_path,
+                max_d=cfg.max_d, max_h=cfg.max_h, max_w=cfg.max_w,
+                inverse_depth=cfg.inverse_depth, augment_rng=rng,
+            )
+
+    elif args.data_root and not args.synthetic:
         from atvsnet_tpu.data.mvs_syn import MvsSynDataset, load_training_sample
 
         ds = MvsSynDataset(args.data_root, num_neighbors=cfg.view_num - 1, seed=args.seed)
@@ -94,7 +132,8 @@ def main() -> None:
         def next_batch():
             ids, _aug = sample_ids[rng.randint(len(sample_ids))]
             return load_training_sample(
-                ds, ids, max_d=cfg.max_d, inverse_depth=cfg.inverse_depth, augment_rng=rng
+                ds, ids, max_d=cfg.max_d, inverse_depth=cfg.inverse_depth,
+                augment_rng=rng, multi_depth=args.multi_depth,
             )
 
     else:

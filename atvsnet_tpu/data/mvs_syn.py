@@ -208,12 +208,19 @@ def load_training_sample(
     sample_scale: float = 0.25,
     inverse_depth: bool = True,
     augment_rng=None,
+    multi_depth: bool = False,
 ):
     """Read one [ref, views...] sample: images + EXR GT depth -> training batch.
 
     Returns dict(images (1,N,H,W,3), cams (1,N,2,4,4), depth_gt (1,h,w,1) in sweep
     space at cost-volume resolution). Depth range comes from the GT depth map
     (reference eval_pointcloud.py:172-193 / preprocess_colmap.py:238-257).
+
+    multi_depth=True additionally loads every NEIGHBOR view's own-frame GT depth
+    (the reference's gen_mvs_resized_path_multi_depth sample layout,
+    preprocess_mvs_syn.py:485-582: [ref, views..., ref_depth, view_depths...]) as
+    depth_views_gt (1, N-1, h, w, 1) — used to supervise the per-pair swapped depths
+    directly in their own frames (models/train.py).
     """
     import cv2
 
@@ -238,15 +245,22 @@ def load_training_sample(
 
     h = int(depth.shape[0] * sample_scale)
     w = int(depth.shape[1] * sample_scale)
-    gt_small = cv2.resize(depth.astype(np.float32), (w, h), interpolation=cv2.INTER_NEAREST)
-    if inverse_depth:
-        gt_small = np.where(gt_small > 0, 1.0 / np.maximum(gt_small, 1e-10), 0.0)
 
-    return {
+    def to_sweep_small(d):
+        small = cv2.resize(d.astype(np.float32), (w, h), interpolation=cv2.INTER_NEAREST)
+        if inverse_depth:
+            small = np.where(small > 0, 1.0 / np.maximum(small, 1e-10), 0.0)
+        return small
+
+    out = {
         "images": np.stack(imgs)[None].astype(np.float32),
         "cams": cams[None].astype(np.float32),
-        "depth_gt": gt_small[None, ..., None].astype(np.float32),
+        "depth_gt": to_sweep_small(depth)[None, ..., None].astype(np.float32),
     }
+    if multi_depth:
+        view_gt = [to_sweep_small(_read_exr_depth(dataset.images[i].depthpath)) for i in ids[1:]]
+        out["depth_views_gt"] = np.stack(view_gt)[None, ..., None].astype(np.float32)
+    return out
 
 
 def _read_exr_depth(path: str) -> np.ndarray:

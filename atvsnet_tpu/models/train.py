@@ -69,7 +69,15 @@ def training_loss(
         tcfg.loss_weight_agg * masked_l1(out["depth_agg_initial"], gt, interval)
         + tcfg.loss_weight_refined * masked_l1(out["depth"], gt, interval)
     )
-    aux = aux_view_loss(out["depth_views"], batch["cams"], gt, interval, cfg)
+    if "depth_views_gt" in batch:
+        # multi-depth samples (preprocess_mvs_syn.py:485-582 layout) carry every
+        # view's OWN-frame gt — supervise the swapped depths directly, no warping
+        gt_views = jnp.moveaxis(batch["depth_views_gt"], 1, 0)  # (P, B, h, w, 1)
+        aux = jax.vmap(lambda d, g: masked_l1(d, g, interval))(
+            out["depth_views"], gt_views
+        ).mean()
+    else:
+        aux = aux_view_loss(out["depth_views"], batch["cams"], gt, interval, cfg)
     loss = loss + tcfg.loss_weight_initial * aux
     return loss, {"loss": loss, "loss_aux": aux}
 

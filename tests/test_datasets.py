@@ -258,3 +258,185 @@ class TestMvsSynTraining:
         assert batch["depth_gt"].shape == (1, H // 4, W // 4, 1)
         assert batch["cams"][0, 0, 1, 3, 1] > 0  # positive sweep interval
         assert (batch["depth_gt"] > 0).all()
+
+@pytest.fixture(scope="module")
+def eth3d_dir(tmp_path_factory):
+    """Fabricated ETH3D training layout: one scene with a COLMAP text model,
+    images, and raw-float32 gt depths (the ETH3D gt format)."""
+    import cv2
+
+    data_root = tmp_path_factory.mktemp("eth3d_data")
+    gt_root = tmp_path_factory.mktemp("eth3d_gt")
+    scene = "delivery_area"
+    sparse = data_root / scene / "rig_calibration"
+    images_dir = data_root / scene / "images_undistorted"
+    depth_dir = gt_root / f"{scene}_rig_depth" / scene / "ground_truth_depth_undistorted"
+    for d in (sparse, images_dir, depth_dir):
+        d.mkdir(parents=True)
+
+    n_img, n_pts = 4, 60
+    H, W = 48, 64
+    rng = np.random.RandomState(0)
+    pts = np.concatenate(
+        [rng.uniform(-1, 1, (n_pts, 2)), rng.uniform(4, 6, (n_pts, 1))], axis=1
+    )
+    with open(sparse / "cameras.txt", "w") as f:
+        f.write("# Camera list\n1 PINHOLE 64 48 50 50 32 24\n")
+    img_lines = ["# Image list\n"]
+    for i in range(n_img):
+        angle = 0.05 * i
+        qw, qy = np.cos(angle / 2), -np.sin(angle / 2)
+        img_lines.append(f"{i + 1} {qw} 0.0 {qy} 0.0 {0.2 * i} 0.0 0.0 1 img{i}.png\n")
+        obs = " ".join(f"{10.0 + j} {12.0 + j} {j + 1}" for j in range(i * 5, i * 5 + 40))
+        img_lines.append(obs + "\n")
+    with open(sparse / "images.txt", "w") as f:
+        f.writelines(img_lines)
+    with open(sparse / "points3D.txt", "w") as f:
+        for j in range(n_pts):
+            f.write(f"{j + 1} {pts[j, 0]} {pts[j, 1]} {pts[j, 2]} 128 128 128 0.5\n")
+    for i in range(n_img):
+        cv2.imwrite(str(images_dir / f"img{i}.png"), rng.randint(0, 255, (H, W, 3)).astype(np.uint8))
+        depth = (4.0 + rng.rand(H, W)).astype(np.float32)
+        depth[:4] = np.nan  # missing pixels like real ETH3D gt
+        depth.tofile(str(depth_dir / f"img{i}.png"))
+    return str(data_root), str(gt_root)
+
+
+class TestColmapTraining:
+    def test_sample_assembly(self, eth3d_dir):
+        from atvsnet_tpu.data.colmap_train import eth3d_training_samples
+
+        data_root, gt_root = eth3d_dir
+        samples, sparses = eth3d_training_samples(
+            data_root, gt_root, view_num=3, augment_number=2,
+            scenes=["delivery_area"],
+        )
+        assert len(samples) == 4 * 2  # 4 refs x 2 augmentations
+        assert len(sparses) == 1
+        s = samples[0]
+        assert len(s.view_ids) == 2 and s.ref_id not in s.view_ids
+        assert os.path.exists(s.gt_depth_path)
+
+    def test_neighbor_fallback_pads_with_ref(self, eth3d_dir):
+        from atvsnet_tpu.data.colmap_train import eth3d_neighbor_ids
+
+        data_root, gt_root = eth3d_dir
+        from atvsnet_tpu.data.colmap import ColmapSparse
+
+        sp = ColmapSparse(
+            os.path.join(data_root, "delivery_area", "rig_calibration"),
+            os.path.join(data_root, "delivery_area", "images_undistorted"),
+            num_neighbors=2,
+        )
+        sp.images[1].neighbor_list = []
+        ids = eth3d_neighbor_ids(sp, 1, view_num=6)
+        assert len(ids) == 5
+        assert ids[0] == 2  # index-adjacency fallback (ref+1 exists)
+        assert 1 in ids     # padded with the ref id once candidates run out
+
+    def test_load_sample_and_train_step(self, eth3d_dir):
+        import jax
+        import jax.numpy as jnp
+
+        from atvsnet_tpu.config import PipelineConfig, TrainConfig
+        from atvsnet_tpu.data.colmap_train import (
+            eth3d_training_samples,
+            load_colmap_training_sample,
+        )
+        from atvsnet_tpu.models.train import TrainState, make_optimizer, train_step
+        from atvsnet_tpu.models.tvsnet import init_params
+
+        data_root, gt_root = eth3d_dir
+        samples, sparses = eth3d_training_samples(
+            data_root, gt_root, view_num=3, scenes=["delivery_area"]
+        )
+        s = samples[0]
+        batch = load_colmap_training_sample(
+            sparses[s.scene_idx], s.ref_id, s.view_ids, s.gt_depth_path,
+            max_d=8, max_h=32, max_w=32, augment_rng=np.random.RandomState(0),
+        )
+        assert batch["images"].shape == (1, 3, 32, 32, 3)
+        assert batch["cams"].shape == (1, 3, 2, 4, 4)
+        assert batch["depth_gt"].shape == (1, 8, 8, 1)
+        assert batch["cams"][0, 0, 1, 3, 1] > 0
+        assert np.isfinite(batch["depth_gt"]).all()
+
+        cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+        tcfg = TrainConfig()
+        tx = make_optimizer(tcfg)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        state2, metrics = jax.jit(lambda st, b: train_step(st, b, cfg, tcfg, tx))(
+            state, {k: jnp.asarray(v) for k, v in batch.items()}
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state2.step) == 1
+
+    def test_emit_training_samples(self, eth3d_dir, tmp_path):
+        from atvsnet_tpu.data.colmap_train import (
+            emit_training_samples,
+            eth3d_training_samples,
+        )
+        from atvsnet_tpu.data.cams import load_cam
+        from atvsnet_tpu.data.pfm import load_pfm
+
+        data_root, gt_root = eth3d_dir
+        samples, sparses = eth3d_training_samples(
+            data_root, gt_root, view_num=3, scenes=["delivery_area"]
+        )
+        n = emit_training_samples(
+            samples, sparses, str(tmp_path), max_d=8, max_h=32, max_w=32
+        )
+        assert n == len(samples)
+        sdir = os.path.join(str(tmp_path), "00000000")
+        assert load_pfm(os.path.join(sdir, "depth.pfm")).shape == (32, 32)
+        cam = load_cam(os.path.join(sdir, "cam_0.txt"))
+        assert cam[1, 3, 1] > 0
+
+
+class TestMultiDepth:
+    def test_load_training_sample_multi_depth(self, mvs_syn_dir, monkeypatch):
+        import atvsnet_tpu.data.mvs_syn as ms
+        import cv2
+
+        rng = np.random.RandomState(0)
+        H, W = 48, 64
+        monkeypatch.setattr(
+            ms, "_read_exr_depth", lambda path: (2.0 + rng.rand(H, W)).astype(np.float32)
+        )
+        ds = MvsSynDataset(mvs_syn_dir, num_neighbors=2, max_neighbor_range=4, seed=0)
+        for im in ds.images:
+            os.makedirs(os.path.dirname(im.filepath), exist_ok=True)
+            cv2.imwrite(im.filepath, rng.randint(0, 255, (H, W, 3)).astype(np.uint8))
+        ids, _ = next(ds.training_samples(3))
+        batch = ms.load_training_sample(ds, ids, max_d=8, multi_depth=True)
+        assert batch["depth_views_gt"].shape == (1, 2, H // 4, W // 4, 1)
+        assert (batch["depth_views_gt"] > 0).all()
+
+    def test_train_step_with_view_gt(self):
+        import jax
+        import jax.numpy as jnp
+
+        from atvsnet_tpu.config import PipelineConfig, TrainConfig
+        from atvsnet_tpu.models.train import TrainState, make_optimizer, train_step
+        from atvsnet_tpu.models.tvsnet import init_params
+        from tests._utils import synthetic_scene
+
+        cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+        tcfg = TrainConfig()
+        tx = make_optimizer(tcfg)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        images, cams = synthetic_scene(view_num=3, H=32, W=32, D=8)
+        rng = np.random.RandomState(0)
+        batch = {
+            "images": jnp.asarray(images),
+            "cams": jnp.asarray(cams),
+            "depth_gt": jnp.asarray((0.5 + 0.3 * rng.rand(1, 8, 8, 1)).astype(np.float32)),
+            "depth_views_gt": jnp.asarray(
+                (0.5 + 0.3 * rng.rand(1, 2, 8, 8, 1)).astype(np.float32)
+            ),
+        }
+        state2, metrics = jax.jit(lambda st, b: train_step(st, b, cfg, tcfg, tx))(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["loss_aux"]) > 0
