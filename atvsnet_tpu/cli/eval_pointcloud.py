@@ -108,6 +108,13 @@ def run_eval_pc(
             depth = np.asarray(
                 sweep_to_depth(jnp.asarray(depth_sweep), cfg.inverse_depth)
             ).squeeze()
+            # crop away the pad-and-mask region of small inputs (preprocess.py)
+            vh, vw = sample["valid_hw"]
+            vh4, vw4 = int(vh * cfg.sample_scale), int(vw * cfg.sample_scale)
+            if (vh4, vw4) != depth.shape[:2]:
+                depth = depth[:vh4, :vw4]
+                conf = conf[:, :vh4, :vw4]
+                depth_sweep = depth_sweep[:, :vh4, :vw4]
             idx = sample["index"]
             save_pfm(os.path.join(out_folder, f"{idx:08d}.pfm"), depth.astype(np.float32))
             save_pfm(os.path.join(out_folder, f"{idx:08d}_prob.pfm"), conf.squeeze().astype(np.float32))

@@ -122,20 +122,55 @@ def run_example(
     return result
 
 
+def run_examples(
+    root_path: str,
+    example_indices,
+    view_num: int,
+    params_path: str | None = None,
+    savepath: str | None = None,
+    max_d: int = 128,
+) -> dict:
+    """Batch mode: run several example directories and write a combined summary
+    (the reference example driver loops index lists into one error workbook)."""
+    summary = {}
+    for idx in example_indices:
+        sub = os.path.join(savepath, str(idx)) if savepath else None
+        summary[str(idx)] = run_example(
+            root_path, idx, view_num,
+            params_path=params_path, savepath=sub, max_d=max_d,
+        )
+    out_root = savepath or "results"
+    os.makedirs(out_root, exist_ok=True)
+    with open(os.path.join(out_root, "examples_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    log.info(f"batch summary -> {os.path.join(out_root, 'examples_summary.json')}")
+    return summary
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--root_path", default="/root/reference/example")
-    ap.add_argument("--example_index", type=int, default=2)
+    ap.add_argument(
+        "--example_index", default="2",
+        help="example directory index, or a comma-separated list for batch mode",
+    )
     ap.add_argument("--view_num", type=int, default=5)
     ap.add_argument("--params", default=None, help="npz checkpoint path")
     ap.add_argument("--savepath", default=None)
     ap.add_argument("--max_d", type=int, default=128)
     args = ap.parse_args()
     assert args.view_num > 1
-    run_example(
-        args.root_path, args.example_index, args.view_num,
-        params_path=args.params, savepath=args.savepath, max_d=args.max_d,
-    )
+    indices = [int(s) for s in str(args.example_index).split(",")]
+    if len(indices) == 1:
+        run_example(
+            args.root_path, indices[0], args.view_num,
+            params_path=args.params, savepath=args.savepath, max_d=args.max_d,
+        )
+    else:
+        run_examples(
+            args.root_path, indices, args.view_num,
+            params_path=args.params, savepath=args.savepath, max_d=args.max_d,
+        )
 
 
 if __name__ == "__main__":

@@ -72,6 +72,21 @@ def crop_mvs_input(
     return out_images, out_cams
 
 
+def pad_mvs_input(images: list, target_h: int, target_w: int) -> list:
+    """Edge-replicate-pad each view at the bottom/right up to (target_h, target_w).
+
+    Bottom/right padding leaves the principal point (and therefore the cams) intact;
+    edge replication keeps the normalization statistics close to the real image. The
+    caller tracks the valid region and crops the outputs back.
+    """
+    out = []
+    for im in images:
+        h, w = im.shape[:2]
+        pad = ((0, max(0, target_h - h)), (0, max(0, target_w - w))) + ((0, 0),) * (im.ndim - 2)
+        out.append(np.pad(im, pad, mode="edge") if (h < target_h or w < target_w) else im)
+    return out
+
+
 def mask_depth_image(depth_image: np.ndarray, min_depth: float, max_depth: float) -> np.ndarray:
     """Zero out-of-range depths (preprocess.py:94-100)."""
     out = np.where(depth_image <= min_depth, 0.0, depth_image)
@@ -136,13 +151,22 @@ def load_mvs_sample(
             cam[1][3][2] = max_d
 
     resize_scale = 1.0
+    padded = False
     if adaptive_scaling:
         h_scale = max(float(max_h) / im.shape[0] for im in images)
         w_scale = max(float(max_w) / im.shape[1] for im in images)
         if h_scale > 1 or w_scale > 1:
-            raise ValueError("input images smaller than max_h x max_w")
-        resize_scale = max(h_scale, w_scale)
+            # images smaller than the (max_h, max_w) bucket: the reference exits here
+            # (eval_pointcloud.py:136-139); instead keep scale 1 and pad-and-mask
+            # below so small scenes still run through the one compiled bucket shape
+            padded = True
+        else:
+            resize_scale = max(h_scale, w_scale)
     images, cams = scale_mvs_input(images, cams, scale=resize_scale)
+    valid_h = min(images[0].shape[0], max_h)
+    valid_w = min(images[0].shape[1], max_w)
+    if padded:
+        images = pad_mvs_input(images, max_h, max_w)
     images, cams = crop_mvs_input(images, cams, max_h, max_w, base_image_size=base_image_size)
 
     centered = [center_image(im) for im in images]
@@ -158,6 +182,9 @@ def load_mvs_sample(
         "images_raw": np.expand_dims(np.stack(images), 0),
         "cams": np.expand_dims(np.stack(cams), 0).astype(np.float32),
         "index": index,
+        # valid (un-padded) region of the reference view at FULL resolution;
+        # equals the bucket unless the inputs were smaller and got padded
+        "valid_hw": (valid_h, valid_w),
     }
 
 

@@ -117,8 +117,9 @@ def main() -> None:
             {
                 "metric": "eth3d_5view_depth_maps_per_sec_per_chip",
                 "value": round(dm_per_s, 4),
-                "unit": "depth maps/s (5-view, 480x896, D=128)",
+                "unit": f"depth maps/s (5-view, 480x896, D=128, {args.dtype})",
                 "vs_baseline": round(dm_per_s / baseline, 2),
+                "dtype": args.dtype,
             }
         )
     )

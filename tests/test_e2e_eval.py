@@ -109,3 +109,36 @@ def test_export_gipuma_layout(scene_dir, tmp_path):
         normals = read_dmb(os.path.join(point_folder, f"2333__{name}", "normals.dmb"))
         assert disp.shape == (H // 4, W // 4)
         assert normals.shape == (H // 4, W // 4, 3)
+
+def test_small_scene_pad_and_mask(scene_dir, tmp_path):
+    """Inputs smaller than the (max_h, max_w) bucket: pad-and-mask instead of the
+    reference's hard exit (eval_pointcloud.py:136-139); outputs cropped to the valid
+    region."""
+    from atvsnet_tpu.cli.eval_pointcloud import run_eval_pc
+    from atvsnet_tpu.data.pfm import load_pfm
+
+    savepath = str(tmp_path / "eval_small")
+    # bucket LARGER than the 96x128 scene in both dims
+    run_eval_pc(scene_dir, savepath, scenes=["mini"], view_num=VIEW_NUM,
+                max_d=D, max_w=W + 64, max_h=H + 32)
+    out_folder = os.path.join(savepath, "mini", "depths_atvsnet")
+    depth = load_pfm(os.path.join(out_folder, "00000000.pfm"))
+    prob = load_pfm(os.path.join(out_folder, "00000000_prob.pfm"))
+    # cropped back to the scene's own 1/4-res size, not the padded bucket
+    assert depth.shape == (H // 4, W // 4)
+    assert prob.shape == (H // 4, W // 4)
+    assert np.isfinite(depth).all()
+
+
+def test_mixed_dims_pad_and_crop(scene_dir, tmp_path):
+    """Bucket smaller in one dim (crop) and larger in the other (pad)."""
+    from atvsnet_tpu.cli.eval_pointcloud import run_eval_pc
+    from atvsnet_tpu.data.pfm import load_pfm
+
+    savepath = str(tmp_path / "eval_mixed")
+    run_eval_pc(scene_dir, savepath, scenes=["mini"], view_num=VIEW_NUM,
+                max_d=D, max_w=W - 32, max_h=H + 32)
+    out_folder = os.path.join(savepath, "mini", "depths_atvsnet")
+    depth = load_pfm(os.path.join(out_folder, "00000000.pfm"))
+    assert depth.shape == (H // 4, (W - 32) // 4)
+    assert np.isfinite(depth).all()
