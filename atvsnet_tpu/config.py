@@ -47,6 +47,10 @@ class PipelineConfig:
     # rematerialize per-pair stages under AD (jax.checkpoint): trades FLOPs for HBM so
     # full-resolution training fits; no effect on inference.
     remat: bool = False
+    # Soft-argmin implementation: "auto" uses the fused Pallas kernel on TPU
+    # (ops/softargmin.py, measured 1.89ms vs 2.48ms XLA at the eval shape) and XLA
+    # elsewhere; "pallas"/"xla" force one.
+    softargmin_impl: str = "auto"
     # Reproduce the reference's per-pair visual-hull camera-indexing bug: refinement
     # passes the FULL cams stack into get_visual_hull with view_num=2
     # (reference atvsnet/model.py:321-324 + homography_warping.py:344-358), so the

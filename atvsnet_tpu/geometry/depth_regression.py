@@ -94,19 +94,38 @@ def probability_map(
     return prob[..., None]
 
 
+def _use_pallas(impl: str) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    # "auto": the fused kernel only lowers on the TPU backend (named "tpu", or
+    # "axon" on the tunneled single-chip platform)
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def prob2depth(
     prob_volume: jnp.ndarray,
     depth_num: int,
     depth_start: jnp.ndarray,
     depth_interval: jnp.ndarray,
     out_prob_map: bool = False,
+    impl: str = "auto",
 ):
     """Soft-argmin: softmax(-cost) over depth, expectation over the sweep values.
 
     prob_volume: (B, D, h, w) raw cost ("prob volume" in reference naming);
     depth_start/interval: (B,). Returns depth (B, h, w, 1) [+ confidence (B, h, w, 1)].
     Reference: atvsnet/model.py:80-109.
+
+    impl: "auto" (fused Pallas kernel on TPU — measured 1.89ms vs 2.48ms XLA at the
+    eval shape, exact to 1e-6; see ops/softargmin.py), "pallas", or "xla". The
+    confidence path always runs the XLA formula (it needs the full softmax volume).
     """
+    if not out_prob_map and _use_pallas(impl):
+        from atvsnet_tpu.ops.softargmin import softargmin
+
+        return softargmin(prob_volume, depth_num, depth_start, depth_interval)
     pv = prob_volume.astype(jnp.float32)
     probability = jax.nn.softmax(-pv, axis=1)              # (B, D, h, w)
     steps = jnp.arange(depth_num, dtype=jnp.float32)
@@ -133,6 +152,7 @@ def prob2depth_upsample(
     depth_interval: jnp.ndarray,
     out_prob_map: bool = False,
     up_scale: int = 4,
+    impl: str = "auto",
 ):
     """Soft-argmin at native and up_scale-upsampled resolution.
 
@@ -156,7 +176,7 @@ def prob2depth_upsample(
 
     def body(A_tile):
         pv_t = jnp.einsum("th,bdhq->bdtq", A_tile, pv_w, precision=hi)  # (B, D, tile, Wout)
-        return prob2depth(pv_t, depth_num, depth_start, depth_interval, out_prob_map)
+        return prob2depth(pv_t, depth_num, depth_start, depth_interval, out_prob_map, impl=impl)
 
     outs = jax.lax.map(body, Ah_tiles)
 
@@ -164,7 +184,7 @@ def prob2depth_upsample(
         return jnp.moveaxis(x, 0, 1).reshape(B, Hout, Wout, 1)
 
     if out_prob_map:
-        depth, prob = prob2depth(prob_volume, depth_num, depth_start, depth_interval, True)
+        depth, prob = prob2depth(prob_volume, depth_num, depth_start, depth_interval, True, impl=impl)
         return depth, _stitch(outs[0]), prob, _stitch(outs[1])
-    depth = prob2depth(prob_volume, depth_num, depth_start, depth_interval)
+    depth = prob2depth(prob_volume, depth_num, depth_start, depth_interval, impl=impl)
     return depth, _stitch(outs)

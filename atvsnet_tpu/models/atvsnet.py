@@ -72,9 +72,11 @@ def multi_view_forward(
     cost_agg = aam_aggregate(params, stacked, stage=1)             # (B, D, h, w, C)
     prob_agg = aam_output_conv(params, cost_agg, stage=1)          # (B, D, h, w)
     if out_prob_map:
-        depth_agg, conf_agg = prob2depth(prob_agg, D, depth_start, depth_interval, True)
+        depth_agg, conf_agg = prob2depth(
+            prob_agg, D, depth_start, depth_interval, True, impl=cfg.softargmin_impl
+        )
     else:
-        depth_agg = prob2depth(prob_agg, D, depth_start, depth_interval)
+        depth_agg = prob2depth(prob_agg, D, depth_start, depth_interval, impl=cfg.softargmin_impl)
         conf_agg = None
 
     # ---- stage 3: per-pair refinement (reference example.py:160-174) ----
@@ -103,11 +105,12 @@ def multi_view_forward(
     prob_agg2 = aam_output_conv(params, cost_agg2, stage=2)
     if out_prob_map:
         depth_refined, depth_refined_up, conf, conf_up = prob2depth_upsample(
-            prob_agg2, D, depth_start, depth_interval, out_prob_map=True
+            prob_agg2, D, depth_start, depth_interval, out_prob_map=True,
+            impl=cfg.softargmin_impl,
         )
     else:
         depth_refined, depth_refined_up = prob2depth_upsample(
-            prob_agg2, D, depth_start, depth_interval
+            prob_agg2, D, depth_start, depth_interval, impl=cfg.softargmin_impl
         )
         conf = conf_up = None
 

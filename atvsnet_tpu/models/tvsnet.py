@@ -125,13 +125,13 @@ def tvsnet_base(
     # tiled-reference half enters the CRM input convs as 2D convs (layers.conv3d_mixed)
     warped = sweep(ref_feature, view_feature, ref_cam, view_cam)
     filtered_cost, prob = crm(params["crm"], (warped, ref_feature), eps=cfg.bn_eps)
-    depth = prob2depth(prob, D, depth_start, depth_interval)
+    depth = prob2depth(prob, D, depth_start, depth_interval, impl=cfg.softargmin_impl)
 
     depth_view = None
     if siamese:
         warped_v = sweep(view_feature, ref_feature, view_cam, ref_cam)
         _, prob_view = crm(params["crm"], (warped_v, view_feature), eps=cfg.bn_eps)
-        depth_view = prob2depth(prob_view, D, depth_start, depth_interval)
+        depth_view = prob2depth(prob_view, D, depth_start, depth_interval, impl=cfg.softargmin_impl)
 
     return PairOutputs(depth, prob, filtered_cost, depth_view)
 
@@ -299,7 +299,9 @@ def two_view_forward(params: dict, images: jnp.ndarray, cams: jnp.ndarray, cfg: 
         shallow[:, 0], shallow[:, 1], base.prob_volume, cfg, depth_start, depth_interval,
     )
     refined_prob_vol = base.prob_volume + prob_residual.astype(base.prob_volume.dtype)
-    depth, depth_up = prob2depth_upsample(refined_prob_vol, D, depth_start, depth_interval)
+    depth, depth_up = prob2depth_upsample(
+        refined_prob_vol, D, depth_start, depth_interval, impl=cfg.softargmin_impl
+    )
     return {
         "refined_prob_vol": refined_prob_vol,
         "depth": depth,
