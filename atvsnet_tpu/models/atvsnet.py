@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from atvsnet_tpu.config import PipelineConfig
 from atvsnet_tpu.geometry.depth_regression import prob2depth, prob2depth_upsample
 from atvsnet_tpu.models.tvsnet import (
-    aam_aggregate,
+    aam_aggregate_stacked,
     aam_output_conv,
     extract_features,
     tvsnet_base,
@@ -68,8 +68,9 @@ def multi_view_forward(
     # filtered_costs: (P, B, D, h, w, C); depth_views: (P, B, h, w, 1)
 
     # ---- stage 2: AAM1 (reference example.py:153-158) ----
-    stacked = jnp.moveaxis(filtered_costs, 0, -1)                  # (B, D, h, w, C, P)
-    cost_agg = aam_aggregate(params, stacked, stage=1)             # (B, D, h, w, C)
+    # the scan output is view-leading (P, B, D, h, w, C): aggregate in that layout
+    # directly instead of transposing the ~GB stack to (..., C, P) and back
+    cost_agg = aam_aggregate_stacked(params, filtered_costs, stage=1)  # (B, D, h, w, C)
     prob_agg = aam_output_conv(params, cost_agg, stage=1)          # (B, D, h, w)
     if out_prob_map:
         depth_agg, conf_agg = prob2depth(
@@ -100,8 +101,7 @@ def multi_view_forward(
     )
 
     # ---- stage 4: AAM2 + upsampled soft-argmin (reference example.py:176-181) ----
-    stacked_ref = jnp.moveaxis(refined_costs, 0, -1)               # (B, D, h, w, C, P)
-    cost_agg2 = aam_aggregate(params, stacked_ref, stage=2)
+    cost_agg2 = aam_aggregate_stacked(params, refined_costs, stage=2)
     prob_agg2 = aam_output_conv(params, cost_agg2, stage=2)
     if out_prob_map:
         depth_refined, depth_refined_up, conf, conf_up = prob2depth_upsample(

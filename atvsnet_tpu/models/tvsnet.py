@@ -24,7 +24,13 @@ from atvsnet_tpu.geometry.warp import (
 from atvsnet_tpu.geometry.visual_hull import get_visual_hull
 from atvsnet_tpu.geometry.depth_regression import prob2depth, prob2depth_upsample
 from atvsnet_tpu.nn import layers as L
-from atvsnet_tpu.nn.aam import attention_aggregate, init_attention, init_output_conv, output_conv
+from atvsnet_tpu.nn.aam import (
+    attention_aggregate,
+    attention_aggregate_stacked,
+    init_attention,
+    init_output_conv,
+    output_conv,
+)
 from atvsnet_tpu.nn.crm import crm, init_crm
 from atvsnet_tpu.nn.fem import fem, fem_shallow, init_fem, init_fem_shallow
 from atvsnet_tpu.nn.refine import init_refine_net, refine_net
@@ -318,6 +324,13 @@ def aam_aggregate(params: dict, cost_volumes: jnp.ndarray, stage: int) -> jnp.nd
     """
     att = params["aam1_att" if stage == 1 else "aam2_att"]
     return attention_aggregate(att, cost_volumes)
+
+
+def aam_aggregate_stacked(params: dict, cost_volumes: jnp.ndarray, stage: int) -> jnp.ndarray:
+    """AAM over the view-leading (P, B, D, h, w, C) stack — transpose-free variant
+    used by the scan pipeline (nn.aam.attention_aggregate_stacked)."""
+    att = params["aam1_att" if stage == 1 else "aam2_att"]
+    return attention_aggregate_stacked(att, cost_volumes)
 
 
 def aam_output_conv(params: dict, agg_cost: jnp.ndarray, stage: int) -> jnp.ndarray:

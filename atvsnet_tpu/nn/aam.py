@@ -64,6 +64,28 @@ def attention_aggregate(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(score.astype(x.dtype) * x, axis=-1)
 
 
+def attention_aggregate_stacked(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Same math as attention_aggregate but takes the view-LEADING stack
+    (N, B, D, h, w, C) — the natural layout of the pipeline's lax.scan outputs.
+
+    Avoids two full-volume transposes per AAM call (the (...,C,N) layout forces a
+    materialized moveaxis in and another back out; at eval size the stack is ~880MB).
+    """
+    N, B = x.shape[:2]
+    xv = x.reshape((N * B,) + x.shape[2:])              # free reshape: already contiguous
+
+    w_cat = jnp.concatenate([params["weight_unique"], params["weight_shared"]], axis=-1)
+    C = x.shape[-1]
+    both = L.conv(xv, w_cat, relu=True).reshape(x.shape[:-1] + (2 * C,))
+    unique, shared = both[..., :C], both[..., C:]
+    act = (unique - shared + jnp.sum(shared, axis=0)[None]).astype(jnp.float32)
+
+    m = jnp.max(act, axis=0, keepdims=True)
+    e = jnp.exp(act - m)
+    score = e / jnp.sum(e, axis=0, keepdims=True)
+    return jnp.sum(score.astype(x.dtype) * x, axis=0)   # (B, D, h, w, C)
+
+
 def attention_activation_2d(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     """2D variant over (B, H, W, C, N) stacks (reference network.py:411-478)."""
     B, H, W, C, N = x.shape

@@ -96,6 +96,23 @@ def _conv3d_decomposed(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarr
     return y.reshape(B, Do, ho, wo, Co)
 
 
+def _conv3d_input_stacked(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """3D SAME stride-1 conv as ONE 2D conv over depth-shift-stacked channels (exact).
+
+    Stacks the three depth taps on the INPUT channel axis (K = 9*3*Ci) instead of the
+    output axis: measured faster than _conv3d_decomposed at full cost-volume
+    resolution with Ci <= 16 (the MXU contraction is 3x deeper; at larger Ci or
+    smaller spatial extents the decomposed form wins — see conv())."""
+    B, D, h, wd, Ci = x.shape
+    Co = w.shape[-1]
+    zero = jnp.zeros_like(x[:, :1])
+    xm = jnp.concatenate([zero, x[:, :-1]], axis=1)
+    xp = jnp.concatenate([x[:, 1:], zero], axis=1)
+    xs = jnp.concatenate([xm, x, xp], axis=-1)                    # (B, D, h, w, 3Ci)
+    w2 = jnp.concatenate([w[0], w[1], w[2]], axis=-2)             # (3, 3, 3Ci, Co)
+    return _conv2d(xs.reshape(B * D, h, wd, 3 * Ci), w2, 1).reshape(B, D, h, wd, Co)
+
+
 def conv(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -108,7 +125,12 @@ def conv(
     """Rank-dispatching SAME conv (2D on NHWC / 3D on NDHWC), TF-layout kernel."""
     nd = x.ndim - 2
     if nd == 3 and rate == 1 and padding == "SAME" and w.shape[0] == 3 and stride in (1, 2):
-        y = _conv3d_decomposed(x, w, stride)
+        # measured v5e heuristic (tools/microbench_conv.py / round-2 sweeps): the
+        # input-stacked form wins at full cost-volume resolution with narrow inputs
+        if stride == 1 and x.shape[-1] <= 16 and x.shape[2] * x.shape[3] >= 24000:
+            y = _conv3d_input_stacked(x, w)
+        else:
+            y = _conv3d_decomposed(x, w, stride)
     else:
         y = lax.conv_general_dilated(
             x,
