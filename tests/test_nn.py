@@ -234,3 +234,33 @@ class TestSeparableConv:
         depth_c = np.einsum("hwc,hwc->c", patch, np.asarray(dw)[..., 0])
         manual = np.maximum(np.maximum(depth_c, 0) @ np.asarray(pw)[0, 0], 0)
         np.testing.assert_allclose(np.asarray(out)[0, 2, 2], manual, rtol=1e-5)
+
+class TestAttentionStacked:
+    def test_matches_channel_last_layout(self):
+        """attention_aggregate_stacked (view-leading) == attention_aggregate (C,N)."""
+        import jax
+        from atvsnet_tpu.nn.aam import (
+            attention_aggregate,
+            attention_aggregate_stacked,
+            init_attention,
+        )
+
+        rng = np.random.RandomState(0)
+        p = init_attention(jax.random.PRNGKey(0), "attention_aggregate", 8)
+        x = jnp.asarray(rng.rand(4, 1, 6, 8, 10, 8).astype(np.float32))  # (N,B,D,h,w,C)
+        a = attention_aggregate_stacked(p, x)
+        b = attention_aggregate(p, jnp.moveaxis(x, 0, -1))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestConvInputStacked:
+    def test_routing_is_exact(self):
+        """The full-res small-Ci route must equal the decomposed formulation."""
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.rand(1, 4, 120, 224, 8).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 3, 8, 8).astype(np.float32))
+        a = L._conv3d_input_stacked(x, k)
+        b = L._conv3d_decomposed(x, k, 1)
+        c = L.conv(x, k)  # routed (h*w >= 24000, Ci <= 16)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=1e-4)
