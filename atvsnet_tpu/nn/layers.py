@@ -84,6 +84,20 @@ def _conv3d_decomposed(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarr
     Do = D // 2
     ho, wo = -(-h // 2), -(-wd // 2)
     # SAME pad (0,1) over D: out[od] = sum_kd x[2*od + kd] (tap at index D is zero)
+    if Ci >= 16:
+        # pair-fold: move the depth pair into channels with ONE tiled transpose and
+        # feed a single K=9*3Ci conv — the three strided D-slices below lower to slow
+        # copies (measured 16.5 -> 6.9ms on the full-res 32->16 conv; at Ci < 16 the
+        # narrower contraction makes the strided form faster)
+        xr = x.reshape(B, Do, 2, h, wd, Ci)
+        xp = jnp.moveaxis(xr, 2, 4).reshape(B, Do, h, wd, 2 * Ci)
+        xn = jnp.concatenate(
+            [xp[:, 1:, :, :, :Ci], jnp.zeros_like(xp[:, :1, :, :, :Ci])], axis=1
+        )
+        xs = jnp.concatenate([xp, xn], axis=-1)                # (B, Do, h, w, 3Ci)
+        w_cat = jnp.concatenate([w[0], w[1], w[2]], axis=-2)   # (3, 3, 3Ci, Co)
+        y = _conv2d(xs.reshape(B * Do, h, wd, 3 * Ci), w_cat, 2)
+        return y.reshape(B, Do, ho, wo, Co)
     x_even = x[:, 0::2].reshape(B * Do, h, wd, Ci)
     x_odd = x[:, 1::2].reshape(B * Do, h, wd, Ci)
     x_next = jnp.concatenate([x[:, 2::2], jnp.zeros_like(x[:, :1])], axis=1)
