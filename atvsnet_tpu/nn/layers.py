@@ -81,23 +81,39 @@ def _conv3d_decomposed(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarr
         )
 
     assert stride == 2 and D % 2 == 0
+    # SAME pad (0,1) over D: out[od] = sum_kd x[2*od + kd] (tap at index D is zero).
+    # pair-fold wins at Ci >= 16 on the forward (strided D-slices lower to slow
+    # copies: 16.5 -> 6.9ms on the full-res 32->16 conv); deconv() picks separately
+    # because the VJP cost crossover sits elsewhere.
+    if Ci >= 16:
+        return _conv3d_s2_pairfold(x, w)
+    return _conv3d_s2_strided(x, w)
+
+
+def _conv3d_s2_pairfold(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 depth conv with the depth pair folded into channels: ONE tiled
+    transpose + a single K=9*3Ci conv2d (no strided D-slices)."""
+    B, D, h, wd, Ci = x.shape
+    Co = w.shape[-1]
     Do = D // 2
     ho, wo = -(-h // 2), -(-wd // 2)
-    # SAME pad (0,1) over D: out[od] = sum_kd x[2*od + kd] (tap at index D is zero)
-    if Ci >= 16:
-        # pair-fold: move the depth pair into channels with ONE tiled transpose and
-        # feed a single K=9*3Ci conv — the three strided D-slices below lower to slow
-        # copies (measured 16.5 -> 6.9ms on the full-res 32->16 conv; at Ci < 16 the
-        # narrower contraction makes the strided form faster)
-        xr = x.reshape(B, Do, 2, h, wd, Ci)
-        xp = jnp.moveaxis(xr, 2, 4).reshape(B, Do, h, wd, 2 * Ci)
-        xn = jnp.concatenate(
-            [xp[:, 1:, :, :, :Ci], jnp.zeros_like(xp[:, :1, :, :, :Ci])], axis=1
-        )
-        xs = jnp.concatenate([xp, xn], axis=-1)                # (B, Do, h, w, 3Ci)
-        w_cat = jnp.concatenate([w[0], w[1], w[2]], axis=-2)   # (3, 3, 3Ci, Co)
-        y = _conv2d(xs.reshape(B * Do, h, wd, 3 * Ci), w_cat, 2)
-        return y.reshape(B, Do, ho, wo, Co)
+    xr = x.reshape(B, Do, 2, h, wd, Ci)
+    xp = jnp.moveaxis(xr, 2, 4).reshape(B, Do, h, wd, 2 * Ci)
+    xn = jnp.concatenate(
+        [xp[:, 1:, :, :, :Ci], jnp.zeros_like(xp[:, :1, :, :, :Ci])], axis=1
+    )
+    xs = jnp.concatenate([xp, xn], axis=-1)                # (B, Do, h, w, 3Ci)
+    w_cat = jnp.concatenate([w[0], w[1], w[2]], axis=-2)   # (3, 3, 3Ci, Co)
+    y = _conv2d(xs.reshape(B * Do, h, wd, 3 * Ci), w_cat, 2)
+    return y.reshape(B, Do, ho, wo, Co)
+
+
+def _conv3d_s2_strided(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 depth conv via three strided D-slices (faster at narrow Ci)."""
+    B, D, h, wd, Ci = x.shape
+    Co = w.shape[-1]
+    Do = D // 2
+    ho, wo = -(-h // 2), -(-wd // 2)
     x_even = x[:, 0::2].reshape(B * Do, h, wd, Ci)
     x_odd = x[:, 1::2].reshape(B * Do, h, wd, Ci)
     x_next = jnp.concatenate([x[:, 2::2], jnp.zeros_like(x[:, :1])], axis=1)
@@ -241,9 +257,20 @@ def deconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2, relu: bool = False) 
     out_shape = (x.shape[0], *(s * stride for s in x.shape[1:-1]), out_ch)
 
     # routing the forward conv through conv() makes the 3D case inherit the
-    # depth-decomposed 2D lowering; its linear transpose is equally decomposed
-    def fwd(y):
-        return conv(y, w, stride=stride)
+    # depth-decomposed 2D lowering; its linear transpose is equally decomposed.
+    # For 3D stride-2 the VJP cost crossover differs from the forward's: the
+    # pair-fold transpose chain wins only at wide fwd inputs (measured: 64->32
+    # deconv 1.7 vs 3.4ms pf, but 32->16 deconv 2.36 pf vs 1.69 strided).
+    if x.ndim == 5 and stride == 2 and w.shape[0] == 3:
+        fwd_impl = _conv3d_s2_pairfold if out_ch >= 32 else _conv3d_s2_strided
+
+        def fwd(y):
+            return fwd_impl(y, w)
+
+    else:
+
+        def fwd(y):
+            return conv(y, w, stride=stride)
 
     y = jax.vjp(fwd, jnp.zeros(out_shape, x.dtype))[1](x)[0]
     return jnp.maximum(y, 0) if relu else y
