@@ -291,6 +291,29 @@ def deconv_bn(
 def avg_pool_same(x: jnp.ndarray, pool: int, stride: int) -> jnp.ndarray:
     """SAME average pooling that EXCLUDES padding from the mean (TF semantics)."""
     nd = x.ndim - 2
+    if stride == pool:
+        # non-overlapping (the SPP branches): reduce_window walks pool^2 adds per
+        # output (27GB/s measured at 64x64); a zero-pad + reshape-sum streams the
+        # input once, and the per-window valid counts are trace-time constants
+        spatial = x.shape[1:-1]
+        pads, counts_1d = [], []
+        for H in spatial:
+            out = -(-H // pool)
+            tot = out * pool - H
+            lo = tot // 2
+            pads.append((lo, tot - lo))
+            ones = np.zeros(out * pool, np.float32)
+            ones[lo : lo + H] = 1.0
+            counts_1d.append(ones.reshape(out, pool).sum(1))
+        y = jnp.pad(x.astype(jnp.float32), ((0, 0),) + tuple(pads) + ((0, 0),))
+        for axis in range(1, 1 + nd):
+            s = y.shape
+            y = y.reshape(s[:axis] + (s[axis] // pool, pool) + s[axis + 1 :]).sum(axis + 1)
+        counts = counts_1d[0]
+        for c in counts_1d[1:]:
+            counts = counts[..., None] * c
+        counts = jnp.asarray(counts.reshape(counts.shape + (1,)))
+        return (y / counts).astype(x.dtype)
     window = (1,) + (pool,) * nd + (1,)
     strides = (1,) + (stride,) * nd + (1,)
     summed = lax.reduce_window(x.astype(jnp.float32), 0.0, lax.add, window, strides, "SAME")
