@@ -119,6 +119,7 @@ def multi_view_forward(
         "depth_up": depth_refined_up,        # (B, 4h, 4w, 1)
         "depth_agg_initial": depth_agg,
         "prob_volume_agg": prob_agg,
+        "prob_volumes": prob_volumes,        # (P, B, D, h, w) per-pair stage-1 volumes
         "refined_prob_volumes": refined_probs,
         "depth_views": depth_views,
     }
