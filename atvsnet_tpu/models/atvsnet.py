@@ -24,6 +24,7 @@ from atvsnet_tpu.models.tvsnet import (
     aam_aggregate_stacked,
     aam_output_conv,
     extract_features,
+    refinement,
     tvsnet_base,
     tvsnet_refine,
 )
@@ -55,6 +56,15 @@ def multi_view_forward(
     view_ids = jnp.arange(1, N)
 
     # ---- stage 1: per-pair base nets (reference example.py:144-151) ----
+    P = N - 1
+
+    def _tile_pairs(x, reps):
+        """(B, ...) -> (reps*B, ...) — reps copies stacked on the batch axis."""
+        return jnp.broadcast_to(x[None], (reps,) + x.shape).reshape((reps * B,) + x.shape[1:])
+
+    # lax.scan over pairs bounds peak HBM at one pair's working set. cfg.pair_batch
+    # batches the two siamese directions inside each step (see config.py for the
+    # end-to-end measurements that keep it off by default).
     def base_step(carry, view_i):
         view_feature = jnp.take(features, view_i, axis=1)
         view_cam = jnp.take(cams, view_i, axis=1)
@@ -85,20 +95,45 @@ def multi_view_forward(
     # of the full stack (model.py:321-324 with view_num=2); see refinement().
     hull_cam = cams[:, 1] if cfg.reference_compat else None
 
-    def refine_step(carry, inp):
-        view_i, depth_view = inp
-        view_cam = jnp.take(cams, view_i, axis=1)
-        shallow_view = jnp.take(shallow, view_i, axis=1)
-        refined_prob, refined_cost = tvsnet_refine(
-            params, depth_agg, depth_view, prob_agg, cost_agg,
-            ref_cam, view_cam, shallow_ref, shallow_view,
-            cfg, depth_start, depth_interval, hull_view_cam=hull_cam,
+    if cfg.pair_batch:
+        # all P refinements through ONE set of refine-net convs (the refine net is a
+        # single small U-Net block — batching its latency-bound f=8 ops wins where
+        # batching whole CRMs saturates); the shared aggregated volumes tile over pairs
+        view_cams_f = jnp.moveaxis(cams[:, 1:], 1, 0).reshape((P * B,) + cams.shape[2:])
+        shallow_views_f = jnp.moveaxis(shallow[:, 1:], 1, 0).reshape((P * B,) + shallow.shape[2:])
+        dsP = jnp.tile(depth_start, P)
+        diP = jnp.tile(depth_interval, P)
+        cost_res, prob_res = refinement(
+            params,
+            _tile_pairs(depth_agg, P),
+            depth_views.reshape((P * B,) + depth_views.shape[2:]),
+            _tile_pairs(ref_cam, P),
+            view_cams_f,
+            _tile_pairs(shallow_ref, P),
+            shallow_views_f,
+            _tile_pairs(prob_agg, P),
+            cfg, dsP, diP,
+            hull_view_cam=None if hull_cam is None else _tile_pairs(hull_cam, P),
+            bn_groups=P,
         )
-        return carry, (refined_prob, refined_cost)
+        refined_probs = prob_agg[None] + prob_res.reshape((P, B) + prob_res.shape[1:]).astype(prob_agg.dtype)
+        refined_costs = cost_agg[None] + cost_res.reshape((P, B) + cost_res.shape[1:]).astype(cost_agg.dtype)
+    else:
 
-    _, (refined_probs, refined_costs) = jax.lax.scan(
-        refine_step, None, (view_ids, depth_views)
-    )
+        def refine_step(carry, inp):
+            view_i, depth_view = inp
+            view_cam = jnp.take(cams, view_i, axis=1)
+            shallow_view = jnp.take(shallow, view_i, axis=1)
+            refined_prob, refined_cost = tvsnet_refine(
+                params, depth_agg, depth_view, prob_agg, cost_agg,
+                ref_cam, view_cam, shallow_ref, shallow_view,
+                cfg, depth_start, depth_interval, hull_view_cam=hull_cam,
+            )
+            return carry, (refined_prob, refined_cost)
+
+        _, (refined_probs, refined_costs) = jax.lax.scan(
+            refine_step, None, (view_ids, depth_views)
+        )
 
     # ---- stage 4: AAM2 + upsampled soft-argmin (reference example.py:176-181) ----
     cost_agg2 = aam_aggregate_stacked(params, refined_costs, stage=2)

@@ -57,7 +57,7 @@ def init_crm(key, in_channels: int, base_filter: int = 8, prob_output: bool = Tr
     return p
 
 
-def crm(params: dict, cost_volume, eps: float = 1e-3):
+def crm(params: dict, cost_volume, eps: float = 1e-3, bn_groups: int = 1):
     """(B, D, h, w, C) -> (filtered_cost (B,D,h,w,f)[, prob (B,D,h,w)]).
 
     Returns the 'conv_b2_6_1' activation (the 8-channel filtered cost volume fed to
@@ -68,13 +68,16 @@ def crm(params: dict, cost_volume, eps: float = 1e-3):
     builds cost volumes as concat(tile_D(ref_feature), warped) (model.py:186,195); the
     tiled half is D-constant, so its contribution to the two input convs is computed as
     2D convs (layers.conv3d_mixed) instead of materializing a (B, D, h, w, 2F) volume.
+
+    bn_groups > 1: the batch axis carries that many independent weight-shared sweeps
+    (pair/direction batching); BN statistics stay per-sweep (layers.batch_stat_norm).
     """
 
     def cbn(name, x, stride=1, relu=True):
-        return L.conv_bn(params[name], x, stride=stride, eps=eps, relu=relu)
+        return L.conv_bn(params[name], x, stride=stride, eps=eps, relu=relu, groups=bn_groups)
 
     def dbn(name, x):
-        return L.deconv_bn(params[name], x, stride=2, eps=eps)
+        return L.deconv_bn(params[name], x, stride=2, eps=eps, groups=bn_groups)
 
     # --- block 0 ---
     if isinstance(cost_volume, tuple):
@@ -86,7 +89,7 @@ def crm(params: dict, cost_volume, eps: float = 1e-3):
             w = params[name]["w"]
             reordered = jnp.concatenate([w[..., Cc:, :], w[..., :Cc, :]], axis=-2)
             y = L.conv3d_mixed(reordered, warped, ref2d, stride=stride)
-            y = L.batch_stat_norm(y, eps=eps)
+            y = L.batch_stat_norm(y, eps=eps, groups=bn_groups)
             return jnp.maximum(y, 0)
 
         b0_1_0 = mixed("conv_b0_1_0", 2)

@@ -209,14 +209,26 @@ def batch_stat_norm(
     x: jnp.ndarray,
     eps: float = 1e-3,
     beta: Optional[jnp.ndarray] = None,
+    groups: int = 1,
 ) -> jnp.ndarray:
     """Normalize by batch statistics over all non-channel axes (training-mode BN).
 
     tf.layers.batch_normalization(training=True) with center=scale=False computes
     biased moments over (batch, spatial) per channel; eps defaults to 1e-3.
     Statistics always accumulate in fp32.
+
+    groups > 1: the leading batch axis is `groups` independent towers stacked
+    together (the pipeline batches the weight-shared per-pair/per-direction CRM and
+    refine passes into one set of convs); statistics are computed per tower — the
+    exact semantics of running each tower through its own BN.
     """
-    axes = tuple(range(x.ndim - 1))
+    orig_shape = x.shape
+    if groups > 1:
+        assert orig_shape[0] % groups == 0, (orig_shape, groups)
+        x = x.reshape((groups, orig_shape[0] // groups) + orig_shape[1:])
+        axes = tuple(range(1, x.ndim - 1))
+    else:
+        axes = tuple(range(x.ndim - 1))
     if x.dtype == jnp.float32:
         mean = jnp.mean(x, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(x), axis=axes, keepdims=True) - jnp.square(mean)
@@ -231,7 +243,7 @@ def batch_stat_norm(
         y = centered * lax.rsqrt(var + eps).astype(x.dtype)
     if beta is not None:
         y = y + beta.astype(y.dtype)
-    return y.astype(x.dtype)
+    return y.astype(x.dtype).reshape(orig_shape)
 
 
 def conv_bn(
@@ -241,9 +253,10 @@ def conv_bn(
     rate: int = 1,
     relu: bool = True,
     eps: float = 1e-3,
+    groups: int = 1,
 ) -> jnp.ndarray:
     y = conv(x, params["w"], stride=stride, rate=rate)
-    y = batch_stat_norm(y, eps=eps)
+    y = batch_stat_norm(y, eps=eps, groups=groups)
     return jnp.maximum(y, 0) if relu else y
 
 
@@ -282,9 +295,10 @@ def deconv_bn(
     stride: int = 2,
     relu: bool = True,
     eps: float = 1e-3,
+    groups: int = 1,
 ) -> jnp.ndarray:
     y = deconv(x, params["w"], stride=stride)
-    y = batch_stat_norm(y, eps=eps)
+    y = batch_stat_norm(y, eps=eps, groups=groups)
     return jnp.maximum(y, 0) if relu else y
 
 
@@ -438,9 +452,10 @@ def conv3d_mixed_bn(
     stride: int = 1,
     relu: bool = True,
     eps: float = 1e-3,
+    groups: int = 1,
 ) -> jnp.ndarray:
     y = conv3d_mixed(params["w"], varying, const2d, stride=stride)
-    y = batch_stat_norm(y, eps=eps)
+    y = batch_stat_norm(y, eps=eps, groups=groups)
     return jnp.maximum(y, 0) if relu else y
 
 

@@ -49,6 +49,7 @@ def refine_net(
     prob_vol: jnp.ndarray,
     vis_hull: jnp.ndarray,
     eps: float = 1e-3,
+    bn_groups: int = 1,
 ):
     """All inputs (B, D, h, w, *) -> (cost_residual (B,D,h,w,f), prob_residual (B,D,h,w)).
 
@@ -62,15 +63,15 @@ def refine_net(
     """
 
     def cbn(name, x, stride=1):
-        return L.conv_bn(params[f"{_P}{name}"], x, stride=stride, eps=eps)
+        return L.conv_bn(params[f"{_P}{name}"], x, stride=stride, eps=eps, groups=bn_groups)
 
     def dbn(name, x):
-        return L.deconv_bn(params[f"{_P}{name}"], x, stride=2, eps=eps)
+        return L.deconv_bn(params[f"{_P}{name}"], x, stride=2, eps=eps, groups=bn_groups)
 
     if isinstance(photo_group, tuple):
         vary, const2d = photo_group
         photo = L.conv3d_mixed_bn(
-            params[f"{_P}_photo_3dconv"], vary, const2d, stride=1, eps=eps
+            params[f"{_P}_photo_3dconv"], vary, const2d, stride=1, eps=eps, groups=bn_groups
         )
     else:
         photo = cbn("_photo_3dconv", photo_group)
@@ -87,7 +88,7 @@ def refine_net(
             axis=-2,
         )
         y = L.conv3d_mixed(w_eff, vary, const2d, stride=1)
-        geo = jnp.maximum(L.batch_stat_norm(y, eps=eps), 0)
+        geo = jnp.maximum(L.batch_stat_norm(y, eps=eps, groups=bn_groups), 0)
     else:
         geo = cbn("_geo_3dconv", geo_group)
 

@@ -68,10 +68,14 @@ def multi_view_forward_spmd(
     view_shallow = jnp.moveaxis(shallow[:, 1:], 1, 0)
 
     # ---- stage 1: all pairs in parallel (sharded over 'view') ----
+    # pair_batch=False: under vmap the pair axis already batches the convs; keep the
+    # per-direction layout so sharding constraints and remat boundaries stay put.
+    cfg_pair = cfg.replace(pair_batch=False)
+
     def base_pair(view_feature, view_cam):
         out = tvsnet_base(
             params, ref_feature, view_feature, ref_cam, view_cam,
-            cfg, depth_start, depth_interval, siamese=True,
+            cfg_pair, depth_start, depth_interval, siamese=True,
         )
         return out.filtered_cost, out.prob_volume, out.depth_view
 
