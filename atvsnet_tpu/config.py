@@ -51,11 +51,11 @@ class PipelineConfig:
     # directions of each stage-1 pair, the N-1 refinements of stage 3) with per-sweep
     # BN statistics (exact; equivalence-tested). Isolated ops DO scale sublinearly on
     # v5e (CRM pass 30.8ms -> 47.9 at B=2, warp 8x21.9 -> 130.5 at B=8) but the full
-    # pipeline measured SLOWER in every granularity tried (1.946 maps/s scan baseline
-    # vs 1.915 direction-batched, 1.892 +stage-3-batched, 1.646 fully-batched-2P) —
-    # the batched gathers and concat/layout glue outweigh the dispatch savings, and
-    # the 2P variant adds HBM-pressure copies. Default OFF; kept as a measured,
-    # tested alternative for other shapes/hardware.
+    # pipeline measures SLOWER (cached steady-state 1.955 maps/s scan baseline vs
+    # 1.898 batched; the fully-batched-2P variant 1.646) — the batched gathers and
+    # concat/layout glue outweigh the dispatch savings, and the 2P variant adds
+    # HBM-pressure copies. Default OFF; kept as a measured, tested alternative for
+    # other shapes/hardware.
     pair_batch: bool = False
     # Soft-argmin implementation: "auto" uses the fused Pallas kernel on TPU
     # (ops/softargmin.py, measured 1.89ms vs 2.48ms XLA at the eval shape) and XLA

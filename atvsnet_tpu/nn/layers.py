@@ -260,6 +260,75 @@ def conv_bn(
     return jnp.maximum(y, 0) if relu else y
 
 
+def _deconv3d_s2_shuffle(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 SAME conv3d_transpose (k=3) as a 2-tap conv + parity interleave.
+
+    XLA lowers the transposed conv (input-dilated conv) at ~30 GB/s effective on v5e
+    (measured, tools/microbench_hotops.py); this exact reformulation computes each
+    output parity class p in {0,1}^3 directly:
+
+        y[2j + p] = sum_{a in {0,1}^3} w[2a + p] * x[j - a]     (k = 2a+p <= 2)
+
+    which is ONE 2x2(x2-tap-depth) conv to 8*Co channels on the SMALL input followed
+    by a parity un-shuffle — no dilated zeros, no strided scatters. Derivation: the
+    stride-2 SAME forward conv on even-length inputs has pad=(0,1), so x_hat[m] =
+    sum_k w[k] y[2m+k]; transposing gives o = 2m+k, i.e. k = 2(j-m) + p for output
+    o = 2j+p. Exact to reordering of the <=8-term sums (the VJP formulation computes
+    the same sums via scatter).
+
+    w: TF transpose-kernel layout (3, 3, 3, Co, Ci); x: (B, D, h, wd, Ci).
+    Returns (B, 2D, 2h, 2wd, Co).
+    """
+    B, D, h, wd, Ci = x.shape
+    Co = w.shape[-2]
+    dt = x.dtype
+
+    # Build the 2x2x2-tap kernel: K[t_d, t_h, t_w, ci, p_idx*Co + co]
+    #   tap t (1 = x[j], 0 = x[j-1]) and parity p map to k = 2*(1-t) + p per axis;
+    #   k = 3 (t=0, p=1) is out of kernel range -> zero.
+    K = jnp.zeros((2, 2, 2, Ci, 8 * Co), jnp.float32)
+    w_f = jnp.moveaxis(w.astype(jnp.float32), -2, -1)  # (3,3,3, Ci, Co) -> ci-major
+    for td in (0, 1):
+        kd = 2 * (1 - td)
+        for th in (0, 1):
+            kh = 2 * (1 - th)
+            for tw in (0, 1):
+                kw = 2 * (1 - tw)
+                for pd in (0, 1):
+                    for ph in (0, 1):
+                        for pw in (0, 1):
+                            kkd, kkh, kkw = kd + pd, kh + ph, kw + pw
+                            if kkd > 2 or kkh > 2 or kkw > 2:
+                                continue
+                            p_idx = (pd * 4 + ph * 2 + pw) * Co
+                            K = K.at[td, th, tw, :, p_idx : p_idx + Co].set(
+                                w_f[kkd, kkh, kkw]
+                            )
+
+    # depth-tap decomposition of the 2x2x2 conv: two 2D convs on x[j] and x[j-1]
+    K = K.astype(dt)
+    zero = jnp.zeros_like(x[:, :1])
+    x_prev = jnp.concatenate([zero, x[:, :-1]], axis=1)  # x[j-1] along D
+
+    def conv2_valid_pad10(inp, k2):
+        # 2x2 kernel over h/w with (1,0) front padding: taps x[j-1], x[j]
+        return lax.conv_general_dilated(
+            inp.reshape(B * D, h, wd, Ci),
+            k2,
+            window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+            dimension_numbers=_DIM_NUMBERS[2],
+            precision=_precision_for(inp),
+        ).reshape(B, D, h, wd, 8 * Co)
+
+    y8 = conv2_valid_pad10(x, K[1]) + conv2_valid_pad10(x_prev, K[0])
+
+    # parity un-shuffle: (B, D, h, wd, 2,2,2,Co) -> (B, 2D, 2h, 2wd, Co)
+    y8 = y8.reshape(B, D, h, wd, 2, 2, 2, Co)
+    y8 = jnp.transpose(y8, (0, 1, 4, 2, 5, 3, 6, 7))
+    return y8.reshape(B, 2 * D, 2 * h, 2 * wd, Co)
+
+
 def deconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2, relu: bool = False) -> jnp.ndarray:
     """TF conv{2,3}d_transpose, SAME padding: exact VJP of the strided SAME conv.
 
@@ -274,6 +343,10 @@ def deconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2, relu: bool = False) 
     # For 3D stride-2 the VJP cost crossover differs from the forward's: the
     # pair-fold transpose chain wins only at wide fwd inputs (measured: 64->32
     # deconv 1.7 vs 3.4ms pf, but 32->16 deconv 2.36 pf vs 1.69 strided).
+    # NOT routed here: the parity-shuffle form (_deconv3d_s2_shuffle) microbenches
+    # 14% faster in isolation for the narrow Co=8 class but regresses the full
+    # pipeline 1.946 -> 1.723 maps/s (its interleaved output layout forces copies
+    # at the consumers) — kept as a measured negative, tools/microbench_deconv.py.
     if x.ndim == 5 and stride == 2 and w.shape[0] == 3:
         fwd_impl = _conv3d_s2_pairfold if out_ch >= 32 else _conv3d_s2_strided
 

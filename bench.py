@@ -42,7 +42,13 @@ def _inputs(view_num: int = VIEW_NUM):
     return images, cams
 
 
-def measure(device, compute_dtype: str, iters: int = 5):
+def measure(
+    device,
+    compute_dtype: str,
+    iters: int = 5,
+    xla_options: dict | None = None,
+    pair_batch: bool = False,
+):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +57,8 @@ def measure(device, compute_dtype: str, iters: int = 5):
     from atvsnet_tpu.models.tvsnet import init_params
 
     cfg = PipelineConfig(
-        view_num=VIEW_NUM, max_d=D, max_h=H, max_w=W, compute_dtype=compute_dtype
+        view_num=VIEW_NUM, max_d=D, max_h=H, max_w=W, compute_dtype=compute_dtype,
+        pair_batch=pair_batch,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     images, cams = _inputs()
@@ -66,7 +73,8 @@ def measure(device, compute_dtype: str, iters: int = 5):
     # returns before execution on the axon platform, so a scalar device_get is the
     # only reliable fence (see .claude/skills/verify/SKILL.md).
     fwd = jax.jit(
-        lambda p, i, c: jnp.sum(multi_view_forward(p, i, c, cfg)["depth_up"].astype(jnp.float32))
+        lambda p, i, c: jnp.sum(multi_view_forward(p, i, c, cfg)["depth_up"].astype(jnp.float32)),
+        compiler_options=xla_options or None,
     )
     np.asarray(fwd(params, images, cams))
 
@@ -83,7 +91,14 @@ def main() -> None:
     ap.add_argument("--with-cpu-baseline", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument(
+        "--xla-option", action="append", default=[],
+        help="extra TPU compiler option key=value (repeatable), e.g. "
+        "--xla-option xla_tpu_scoped_vmem_limit_kib=65536",
+    )
+    ap.add_argument("--pair-batch", action="store_true")
     args = ap.parse_args()
+    xla_options = dict(kv.split("=", 1) for kv in args.xla_option)
 
     import jax
 
@@ -91,7 +106,9 @@ def main() -> None:
 
     setup_jax()
     dev = jax.devices()[0]
-    dm_per_s = measure(dev, args.dtype, args.iters)
+    dm_per_s = measure(
+        dev, args.dtype, args.iters, xla_options=xla_options, pair_batch=args.pair_batch
+    )
 
     baseline = None
     if os.path.exists(CACHE):
