@@ -189,14 +189,20 @@ def plane_sweep_warp(
     return out.reshape(B, D, H, W, C)
 
 
-def plane_sweep_warp_with_nearest(image: jnp.ndarray, homographies: jnp.ndarray):
+def plane_sweep_warp_with_nearest(
+    image: jnp.ndarray, homographies: jnp.ndarray, nearest_slice: slice | None = None
+):
     """One packed gather yielding BOTH bilinear and nearest plane-sweep warps.
 
-    Returns (bilinear (B,D,H,W,C), nearest (B,D,H,W,C), mask (B,D,H,W,1)). The
+    Returns (bilinear (B,D,H,W,C), nearest (B,D,H,W,Cn), mask (B,D,H,W,1)). The
     nearest sample is one of the four gathered corners (round-to-nearest with the
     reference's invalid-reads-pixel-(0,0) behavior, homography_warping.py:45-56), so
     callers needing both filtrations of the SAME source (e.g. the refinement's
     geometric volume + visual hull) pay for a single gather.
+
+    nearest_slice: restrict the nearest output to these source channels (the
+    refinement only needs the depth channel — avoids materializing a full-width
+    nearest volume).
     """
     B, H, W, C = image.shape
     D = homographies.shape[1]
@@ -234,12 +240,15 @@ def plane_sweep_warp_with_nearest(image: jnp.ndarray, homographies: jnp.ndarray)
     # invalid samples x=y=0 -> corner a = pixel (0,0), matching the reference.
     right = (jnp.round(x).astype(jnp.int32) > x0)[..., None]
     down = (jnp.round(y).astype(jnp.int32) > y0)[..., None]
+    if nearest_slice is not None:
+        ga, gb, gc, gd = (t[..., nearest_slice] for t in (ga, gb, gc, gd))
+    Cn = ga.shape[-1]
     nearest = jnp.where(down, jnp.where(right, gd, gc), jnp.where(right, gb, ga))
 
     shape = (B, D, H, W)
     return (
         bilinear.reshape(shape + (C,)),
-        nearest.reshape(shape + (C,)),
+        nearest.reshape(shape + (Cn,)),
         valid.reshape(shape + (1,)),
     )
 

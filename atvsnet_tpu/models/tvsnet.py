@@ -201,12 +201,14 @@ def refinement(
     stacked_src = jnp.concatenate(
         [shallow_view, depth_view_trans.astype(shallow_view.dtype)], axis=-1
     )
-    warped_all, warped_near, mask = plane_sweep_warp_with_nearest(stacked_src, homographies)
+    warped_all, warped_near, mask = plane_sweep_warp_with_nearest(
+        stacked_src, homographies, nearest_slice=slice(F, F + 1)
+    )
     warped_feat = warped_all[..., :F]
     warped_depth = warped_all[..., F:].astype(jnp.float32)
     mask_geo = mask
     if hull_view_cam is None:
-        hull_depth = warped_near[..., F:].astype(jnp.float32)  # nearest, for the hull
+        hull_depth = warped_near.astype(jnp.float32)  # nearest depth, for the hull
     else:
         # reference_compat: the hull's view depth is transformed + swept with the
         # (possibly wrong) hull camera, exactly as the reference graph builds it.

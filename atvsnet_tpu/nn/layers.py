@@ -236,11 +236,16 @@ def batch_stat_norm(
     else:
         # low-precision activations: accumulate statistics in fp32 WITHOUT
         # materializing an fp32 copy of the volume (the pipeline is HBM-bound —
-        # 226GB traffic/forward measured); center before squaring for stability
-        mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-        centered = x - mean.astype(x.dtype)
-        var = jnp.mean(jnp.square(centered), axis=axes, keepdims=True, dtype=jnp.float32)
-        y = centered * lax.rsqrt(var + eps).astype(x.dtype)
+        # 226GB traffic/forward measured). Both moments come from ONE fused
+        # reduction pass over x (multi-output fusion); the var = E[x^2] - mean^2
+        # form loses nothing observable here: activations are post-conv/post-norm
+        # with |mean| ~ std, far from the fp32 cancellation regime, and the fp32
+        # reference path keeps the two-pass centered formula.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        m2 = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+        var = m2 - jnp.square(mean)
+        y = (x - mean.astype(x.dtype)) * lax.rsqrt(var + eps).astype(x.dtype)
     if beta is not None:
         y = y + beta.astype(y.dtype)
     return y.astype(x.dtype).reshape(orig_shape)
