@@ -82,12 +82,37 @@ def _conv3d_decomposed(x: jnp.ndarray, w: jnp.ndarray, stride: int) -> jnp.ndarr
 
     assert stride == 2 and D % 2 == 0
     # SAME pad (0,1) over D: out[od] = sum_kd x[2*od + kd] (tap at index D is zero).
-    # pair-fold wins at Ci >= 16 on the forward (strided D-slices lower to slow
-    # copies: 16.5 -> 6.9ms on the full-res 32->16 conv); deconv() picks separately
-    # because the VJP cost crossover sits elsewhere.
-    if Ci >= 16:
-        return _conv3d_s2_pairfold(x, w)
-    return _conv3d_s2_strided(x, w)
+    # tap-stack reads x ONCE and does the depth combination on the 8x-smaller
+    # strided output (~0.3GB vs pair-fold's ~0.9GB on the 32->16 full-res conv);
+    # deconv() picks its own forward form because the VJP cost crossover differs.
+    return _conv3d_s2_tapstack(x, w)
+
+
+def _conv3d_s2_tapstack(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 depth conv with the 3 depth taps stacked on the OUTPUT axis.
+
+    One conv2d over ALL D input slices (single read of x) producing (ho, wo, 3*Co)
+    per slice; the depth combination then runs on the downsampled output:
+
+        out[od] = z[2od, :Co] + z[2od+1, Co:2Co] + z[2od+2, 2Co:3Co]
+
+    (the 2od+2 == D tap is the SAME zero pad). Computes 1.5x the strictly needed
+    tap products (evens never use tap 1, odds never use taps 0/2) — FLOPs are not
+    the bottleneck; HBM traffic is ~3x lower than the pair-fold form."""
+    B, D, h, wd, Ci = x.shape
+    Co = w.shape[-1]
+    Do = D // 2
+    ho, wo = -(-h // 2), -(-wd // 2)
+    w_cat = jnp.concatenate([w[0], w[1], w[2]], axis=-1)   # (3, 3, Ci, 3Co)
+    z = _conv2d(x.reshape(B * D, h, wd, Ci), w_cat, 2).reshape(B, Do, 2, ho, wo, 3 * Co)
+    z_even = z[:, :, 0]
+    z_odd = z[:, :, 1]
+    y = z_even[..., :Co] + z_odd[..., Co : 2 * Co]
+    if Do == 1:
+        return y  # no output has a 2od+2 < D tap
+    tap2 = z_even[:, 1:, :, :, 2 * Co :]                   # z[2od+2] for od < Do-1
+    pad = jnp.zeros_like(z_even[:, :1, :, :, 2 * Co :])
+    return y + jnp.concatenate([tap2, pad], axis=1)
 
 
 def _conv3d_s2_pairfold(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
