@@ -370,18 +370,17 @@ def deconv(x: jnp.ndarray, w: jnp.ndarray, stride: int = 2, relu: bool = False) 
 
     # routing the forward conv through conv() makes the 3D case inherit the
     # depth-decomposed 2D lowering; its linear transpose is equally decomposed.
-    # For 3D stride-2 the VJP cost crossover differs from the forward's: the
-    # pair-fold transpose chain wins only at wide fwd inputs (measured: 64->32
-    # deconv 1.7 vs 3.4ms pf, but 32->16 deconv 2.36 pf vs 1.69 strided).
+    # For 3D stride-2 the tap-stacked forward's transpose won end-to-end over the
+    # pair-fold/strided routes (2.362 -> 2.386 maps/s cached): the tap scatter
+    # lands on the 8x-smaller z.
     # NOT routed here: the parity-shuffle form (_deconv3d_s2_shuffle) microbenches
     # 14% faster in isolation for the narrow Co=8 class but regresses the full
-    # pipeline 1.946 -> 1.723 maps/s (its interleaved output layout forces copies
-    # at the consumers) — kept as a measured negative, tools/microbench_deconv.py.
+    # pipeline (its interleaved output layout forces copies at the consumers) —
+    # kept as a measured negative, tools/microbench_deconv.py.
     if x.ndim == 5 and stride == 2 and w.shape[0] == 3:
-        fwd_impl = _conv3d_s2_pairfold if out_ch >= 32 else _conv3d_s2_strided
 
         def fwd(y):
-            return fwd_impl(y, w)
+            return _conv3d_s2_tapstack(y, w)
 
     else:
 
