@@ -78,6 +78,8 @@ def attention_aggregate_stacked(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     C = x.shape[-1]
     both = L.conv(xv, w_cat, relu=True).reshape(x.shape[:-1] + (2 * C,))
     unique, shared = both[..., :C], both[..., C:]
+    # fp32 softmax over views (a bf16 softmax variant measured NO faster end-to-end
+    # — XLA fuses this chain without materializing the fp32 stack)
     act = (unique - shared + jnp.sum(shared, axis=0)[None]).astype(jnp.float32)
 
     m = jnp.max(act, axis=0, keepdims=True)
