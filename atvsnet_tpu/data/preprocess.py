@@ -142,10 +142,45 @@ def load_mvs_sample(
     for v in range(min(view_num, n_available)):
         images.append(cv2.imread(paths[2 * v]))
         cams.append(load_cam(paths[2 * v + 1], max_d=max_d))
+
+    import os
+
+    index = int(os.path.splitext(os.path.basename(paths[0]))[0])
+    out = prepare_mvs_sample(
+        images, cams, view_num, max_d=max_d, max_h=max_h, max_w=max_w,
+        sample_scale=sample_scale, inverse_depth=inverse_depth,
+        adaptive_scaling=adaptive_scaling, base_image_size=base_image_size,
+    )
+    out["index"] = index
+    return out
+
+
+def prepare_mvs_sample(
+    images: list,
+    cams: list,
+    view_num: int,
+    max_d: int = 128,
+    max_h: int = 480,
+    max_w: int = 896,
+    sample_scale: float = 0.25,
+    inverse_depth: bool = True,
+    adaptive_scaling: bool = True,
+    base_image_size: int = 32,
+):
+    """In-memory version of load_mvs_sample: [ref, views...] arrays + (2,4,4) cams.
+
+    Applies the eval driver's full preparation policy (eval_pointcloud.py:96-209):
+    view padding with the reference, adaptive down-scaling into the (max_h, max_w)
+    bucket, pad-and-mask for smaller inputs, center-crop to base_image_size
+    multiples with principal-point shift, per-image variance normalization,
+    inverse-depth sweep conversion, and cost-volume-scale intrinsics.
+    """
+    images = list(images)
+    cams = [np.copy(c) for c in cams]
     # pad with the reference view when fewer neighbors exist (eval_pointcloud.py:115-121)
     while len(images) < view_num:
-        images.append(cv2.imread(paths[0]))
-        cams.append(load_cam(paths[1], max_d=max_d))
+        images.append(images[0])
+        cams.append(np.copy(cams[0]))
     for cam in cams:
         if cam[1][3][2] == 0:
             cam[1][3][2] = max_d
@@ -174,14 +209,10 @@ def load_mvs_sample(
         cams = [to_inverse_depth_range(c, max_d) for c in cams]
     cams = [scale_camera_np(c, sample_scale) for c in cams]
 
-    import os
-
-    index = int(os.path.splitext(os.path.basename(paths[0]))[0])
     return {
         "images": np.expand_dims(np.stack(centered), 0).astype(np.float32),
         "images_raw": np.expand_dims(np.stack(images), 0),
         "cams": np.expand_dims(np.stack(cams), 0).astype(np.float32),
-        "index": index,
         # valid (un-padded) region of the reference view at FULL resolution;
         # equals the bucket unless the inputs were smaller and got padded
         "valid_hw": (valid_h, valid_w),

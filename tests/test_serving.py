@@ -1,0 +1,89 @@
+"""DepthEstimator serving API: preprocessing parity, shapes, view padding, reuse."""
+
+import numpy as np
+import pytest
+
+from atvsnet_tpu.config import PipelineConfig
+from atvsnet_tpu.serving import DepthEstimator
+from tests._utils import synthetic_scene
+
+
+def _scene_arrays(view_num, H, W, D, seed=3):
+    """Raw (pre-normalization) images + metric-depth cams for the serving input."""
+    rng = np.random.RandomState(seed)
+    images = [rng.randint(0, 255, size=(H, W, 3)).astype(np.uint8) for _ in range(view_num)]
+    cams = []
+    for v in range(view_num):
+        cam = np.zeros((2, 4, 4), np.float32)
+        cam[0] = np.eye(4)
+        cam[0, 0, 3] = 0.02 * v
+        cam[1, :3, :3] = np.array([[W, 0, W / 2], [0, W, H / 2], [0, 0, 1]])
+        cam[1, 3] = (1.0, 0.0, D, 4.0)  # metric range [1, 4], D planes
+        cams.append(cam)
+    return images, cams
+
+
+@pytest.fixture(scope="module")
+def estimator():
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    return DepthEstimator(cfg)
+
+
+class TestDepthEstimator:
+    def test_predict_shapes_and_finiteness(self, estimator):
+        cfg = estimator.cfg
+        images, cams = _scene_arrays(3, 32, 32, cfg.max_d)
+        out = estimator.predict(images, cams)
+        assert out["depth"].shape == (8, 8)
+        assert out["depth_up"].shape == (32, 32)
+        assert out["confidence"].shape == (8, 8)
+        assert out["confidence_up"].shape == (32, 32)
+        assert np.isfinite(out["depth"]).all() and np.isfinite(out["depth_up"]).all()
+        # metric depth within the sweep's metric range
+        assert (out["depth"] >= 0).all() and (out["depth"] <= 4.0 + 1e-3).all()
+        assert out["runtime_s"] > 0
+
+    def test_view_padding_fallback(self, estimator):
+        """Fewer views than cfg.view_num pad with the reference (eval_pointcloud.py:115-121)."""
+        images, cams = _scene_arrays(2, 32, 32, estimator.cfg.max_d)
+        out = estimator.predict(images, cams)
+        assert np.isfinite(out["depth"]).all()
+
+    def test_small_input_pad_and_mask(self, estimator):
+        """Inputs smaller than the bucket run padded and come back cropped."""
+        images, cams = _scene_arrays(3, 24, 24, estimator.cfg.max_d)
+        out = estimator.predict(images, cams)
+        assert out["depth_up"].shape == (24, 24)
+        assert out["depth"].shape == (6, 6)
+
+    def test_program_reuse(self, estimator):
+        """Repeat calls hit the same compiled program (no retrace)."""
+        images, cams = _scene_arrays(3, 32, 32, estimator.cfg.max_d, seed=5)
+        a = estimator.predict(images, cams)
+        b = estimator.predict(images, cams)
+        np.testing.assert_array_equal(a["depth"], b["depth"])
+
+    def test_matches_pipeline_on_preprocessed(self, estimator):
+        """preprocessed=True bypasses host prep and matches multi_view_forward."""
+        import jax
+        import jax.numpy as jnp
+
+        from atvsnet_tpu.models.atvsnet import multi_view_forward, sweep_to_depth
+
+        cfg = estimator.cfg
+        images, cams = synthetic_scene(view_num=3, H=32, W=32, D=cfg.max_d, seed=7)
+        out = estimator.predict(list(images[0]), list(cams[0]), preprocessed=True)
+        ref = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg, out_prob_map=True))(
+            estimator.params, jnp.asarray(images), jnp.asarray(cams)
+        )
+        ref_depth = np.asarray(sweep_to_depth(np.asarray(ref["depth"], np.float32)), np.float32)
+        np.testing.assert_allclose(out["depth"], ref_depth[0, ..., 0], rtol=1e-5, atol=1e-5)
+
+
+def test_two_view_estimator():
+    cfg = PipelineConfig(view_num=2, max_d=8, max_h=32, max_w=32)
+    est = DepthEstimator(cfg)
+    images, cams = _scene_arrays(2, 32, 32, 8)
+    out = est.predict(images, cams)
+    assert out["depth"].shape == (8, 8) and np.isfinite(out["depth_up"]).all()
+    assert "confidence" not in out
