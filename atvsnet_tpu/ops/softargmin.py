@@ -32,12 +32,26 @@ def _kernel(cost_ref, sweep_ref, out_ref):
     out_ref[...] = (num / s)[None]
 
 
-def _block_rows(h: int, target: int = 16) -> int:
-    """Mosaic requires the sublane block dim to be a multiple of 8 (or the full dim)."""
-    for t in range(min(target, h), 0, -1):
-        if h % t == 0 and t % 8 == 0:
+_VMEM_BUDGET = 15_500_000  # scoped-vmem envelope: 16MB limit, ~2.05x block bytes used
+
+
+def _block_rows(h: int, D: int, w: int, target: int = 16):
+    """Largest multiple-of-8 row block dividing h whose VMEM working set fits.
+
+    Mosaic requires the sublane block dim to be a multiple of 8 (or the full dim);
+    the kernel's scoped-vmem use is ~2.05x the fp32 block bytes (measured: the
+    (1,128,16,896) block runs at 15.05M of the 16M limit; (1,128,16,960) exceeded
+    it by 128K — lanes pad to multiples of 128, so 960 pads to 1024). Returns None
+    when even the smallest legal block exceeds the budget (caller falls back to XLA).
+    """
+    w_pad = -(-w // 128) * 128
+    candidates = [t for t in range(min(target, h), 0, -1) if h % t == 0 and t % 8 == 0]
+    if not candidates:
+        candidates = [h]  # small test shapes: full-h block
+    for t in candidates:
+        if 2.05 * D * t * w_pad * 4 <= _VMEM_BUDGET:
             return t
-    return h
+    return None
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -51,7 +65,8 @@ def softargmin_pallas(
     Equivalent to geometry.depth_regression.prob2depth(..., out_prob_map=False).
     """
     B, D, h, w = cost_volume.shape
-    bh = _block_rows(h)
+    bh = _block_rows(h, D, w)
+    assert bh is not None, "caller must route to the XLA formula when no block fits"
     grid = (B, h // bh)
 
     out = pl.pallas_call(
@@ -108,6 +123,11 @@ def softargmin(
     """
     steps = jnp.arange(depth_num, dtype=jnp.float32)
     sweep = depth_start.astype(jnp.float32)[:, None] + steps[None] * depth_interval.astype(jnp.float32)[:, None]
+    B, D, h, w = cost_volume.shape
+    if _block_rows(h, D, w) is None:
+        # shape too wide for the kernel's VMEM envelope (e.g. 4x-upsampled rows of
+        # very wide inputs) — the XLA formula handles it
+        return _softargmin_xla(cost_volume, sweep)
     if interpret:
         return softargmin_pallas(cost_volume, sweep, interpret=True)
     return softargmin_fused(cost_volume, sweep)

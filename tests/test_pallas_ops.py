@@ -26,3 +26,28 @@ class TestSoftargminKernel:
             softargmin(jnp.asarray(cost), D, jnp.array([1.0]), jnp.array([0.5]), interpret=True)
         )
         np.testing.assert_allclose(got, 1.0 + 3 * 0.5, atol=1e-4)
+
+    def test_block_rows_vmem_budget(self):
+        """Wide upsampled shapes must shrink the row block or fall back to XLA.
+
+        Regression: the (1,128,16,960) fp32 block exceeded the 16MB scoped-vmem
+        limit by 128K on v5e (example 0's 960-wide 4x-upsampled soft-argmin);
+        lanes pad to multiples of 128 so 960 costs as much as 1024.
+        """
+        from atvsnet_tpu.ops.softargmin import _block_rows
+
+        assert _block_rows(120, 128, 224) == 8          # native cost-volume res
+        assert _block_rows(128, 128, 896) == 16         # 896-wide upsample (tuned)
+        assert _block_rows(128, 128, 960) == 8          # 960-wide: halve the block
+        assert _block_rows(128, 128, 4096) is None      # nothing fits -> XLA path
+        assert _block_rows(6, 8, 8) == 6                # tiny test shapes: full h
+
+    def test_wide_shape_falls_back_to_xla(self):
+        """softargmin() must not build a Pallas call when no block fits."""
+        rng = np.random.RandomState(1)
+        B, D, h, w = 1, 128, 8, 4096
+        cost = jnp.asarray(rng.randn(B, D, h, w).astype(np.float32))
+        ds, di = jnp.array([0.5]), jnp.array([0.01])
+        ref = np.asarray(prob2depth(cost, D, ds, di, impl="xla"))
+        got = np.asarray(softargmin(cost, D, ds, di))   # routes to XLA internally
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
