@@ -32,7 +32,20 @@ def _kernel(cost_ref, sweep_ref, out_ref):
     out_ref[...] = (num / s)[None]
 
 
-_VMEM_BUDGET = 15_500_000  # scoped-vmem envelope: 16MB limit, ~2.05x block bytes used
+def _vmem_budget() -> float:
+    """Scoped-vmem envelope for block sizing (bytes).
+
+    Defaults to the TPU compiler's default 16MB scoped-vmem limit minus headroom.
+    If the limit is changed (e.g. jit compiler_options
+    xla_tpu_scoped_vmem_limit_kib, exposed by bench.py --xla-option), set
+    ATVSNET_SCOPED_VMEM_KIB to the same value so the kernel's block sizing
+    tracks the real limit.
+    """
+    import os
+
+    kib = os.environ.get("ATVSNET_SCOPED_VMEM_KIB")
+    limit = int(kib) * 1024 if kib else 16 * 1024 * 1024
+    return limit - 512 * 1024  # headroom for Mosaic bookkeeping
 
 
 def _block_rows(h: int, D: int, w: int, target: int = 16):
@@ -48,8 +61,9 @@ def _block_rows(h: int, D: int, w: int, target: int = 16):
     candidates = [t for t in range(min(target, h), 0, -1) if h % t == 0 and t % 8 == 0]
     if not candidates:
         candidates = [h]  # small test shapes: full-h block
+    budget = _vmem_budget()
     for t in candidates:
-        if 2.05 * D * t * w_pad * 4 <= _VMEM_BUDGET:
+        if 2.05 * D * t * w_pad * 4 <= budget:
             return t
     return None
 

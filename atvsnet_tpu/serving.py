@@ -54,7 +54,6 @@ class DepthEstimator:
         self.with_confidence = with_confidence and self.cfg.view_num > 2
         self._jax = jax
         self._jnp = jnp
-        self._sweep_to_depth = sweep_to_depth
 
         if params is None:
             if params_path:
@@ -68,13 +67,21 @@ class DepthEstimator:
 
             def fwd(p, images, cams):
                 out = two_view_forward(p, images, cams, c)
-                return {"depth": out["depth"], "depth_up": out["depth_up"]}
+                return {
+                    "depth": sweep_to_depth(out["depth"], c.inverse_depth),
+                    "depth_up": sweep_to_depth(out["depth_up"], c.inverse_depth),
+                }
 
         else:
 
             def fwd(p, images, cams):
                 out = multi_view_forward(p, images, cams, c, out_prob_map=self.with_confidence)
-                keep = {"depth": out["depth"], "depth_up": out["depth_up"]}
+                # metric conversion inside the jitted program: no extra host/device
+                # round trip of the full-resolution maps per request
+                keep = {
+                    "depth": sweep_to_depth(out["depth"], c.inverse_depth),
+                    "depth_up": sweep_to_depth(out["depth_up"], c.inverse_depth),
+                }
                 if self.with_confidence:
                     keep["confidence"] = out["confidence"]
                     keep["confidence_up"] = out["confidence_up"]
@@ -115,6 +122,13 @@ class DepthEstimator:
         """
         c = self.cfg
         if preprocessed:
+            images = list(images)
+            cams = [np.copy(cm) for cm in cams]
+            # view-padding applies to this path too (preprocessed inputs skip only
+            # the scaling/cropping/normalization, not the view-count contract)
+            while len(images) < c.view_num:
+                images.append(images[0])
+                cams.append(np.copy(cams[0]))
             batch = {
                 "images": np.stack(images)[None].astype(np.float32),
                 "cams": np.stack(cams)[None].astype(np.float32),
@@ -129,19 +143,14 @@ class DepthEstimator:
         jnp = self._jnp
         t0 = time.perf_counter()
         out = self._fwd(self.params, jnp.asarray(batch["images"]), jnp.asarray(batch["cams"]))
-        depth_sweep = np.asarray(out["depth"], np.float32)
+        depth = np.asarray(out["depth"], np.float32)  # already metric (fwd converts)
         runtime = time.perf_counter() - t0
 
         vh, vw = batch["valid_hw"]
         s = c.sample_scale
         res = {
-            "depth": np.asarray(
-                self._sweep_to_depth(depth_sweep, c.inverse_depth), np.float32
-            )[0, : int(vh * s), : int(vw * s), 0],
-            "depth_up": np.asarray(
-                self._sweep_to_depth(np.asarray(out["depth_up"], np.float32), c.inverse_depth),
-                np.float32,
-            )[0, :vh, :vw, 0],
+            "depth": depth[0, : int(vh * s), : int(vw * s), 0],
+            "depth_up": np.asarray(out["depth_up"], np.float32)[0, :vh, :vw, 0],
             "runtime_s": runtime,
         }
         if "confidence" in out:
@@ -157,6 +166,11 @@ class DepthEstimator:
 
         from atvsnet_tpu.data.cams import load_cam
 
-        images = [cv2.imread(paths[2 * v]) for v in range(len(paths) // 2)]
+        images = []
+        for v in range(len(paths) // 2):
+            im = cv2.imread(paths[2 * v])
+            if im is None:  # cv2.imread returns None instead of raising
+                raise FileNotFoundError(f"could not read image: {paths[2 * v]}")
+            images.append(im)
         cams = [load_cam(paths[2 * v + 1], max_d=self.cfg.max_d) for v in range(len(paths) // 2)]
         return self.predict(images, cams)

@@ -87,3 +87,12 @@ def test_two_view_estimator():
     out = est.predict(images, cams)
     assert out["depth"].shape == (8, 8) and np.isfinite(out["depth_up"]).all()
     assert "confidence" not in out
+
+
+def test_preprocessed_view_padding():
+    """preprocessed=True also pads missing views (review finding)."""
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    est = DepthEstimator(cfg)
+    images, cams = synthetic_scene(view_num=3, H=32, W=32, D=8, seed=11)
+    out = est.predict(list(images[0][:2]), list(cams[0][:2]), preprocessed=True)
+    assert np.isfinite(out["depth"]).all() and out["depth"].shape == (8, 8)

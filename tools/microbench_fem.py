@@ -23,27 +23,7 @@ from atvsnet_tpu.nn.fem import _SPP_POOLS, init_fem  # noqa: E402
 from atvsnet_tpu.geometry.depth_regression import resize_bilinear_align_corners  # noqa: E402
 
 
-def loop_time(name, op, x, iters=10):
-    nd = x.ndim
-
-    def body(c, _):
-        y = op(c)
-        s = jax.tree_util.tree_reduce(
-            lambda a, l: a + jnp.sum(jax.tree_util.tree_leaves(l)[0].ravel()[:1].astype(jnp.float32)),
-            y, jnp.float32(0),
-        )
-        upd = (c.ravel()[:1] + (s * 1e-30).astype(c.dtype)).reshape((1,) * nd)
-        return lax.dynamic_update_slice(c, upd.astype(c.dtype), (0,) * nd), ()
-
-    f = jax.jit(lambda x0: jnp.sum(lax.scan(body, x0, None, length=iters)[0].ravel()[:1]))
-    np.asarray(f(x))
-    t0 = time.perf_counter()
-    out = f(x)
-    np.asarray(out)
-    dt = (time.perf_counter() - t0 - 0.0035) / iters
-    print(f"{name:46s} {dt * 1e3:8.2f} ms", flush=True)
-    return dt
-
+from tools._bench import loop_time  # noqa: E402
 
 def main():
     rng = np.random.RandomState(0)

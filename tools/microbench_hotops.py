@@ -34,31 +34,7 @@ HW = h * w
 P = D * HW  # samples per plane sweep
 
 
-def loop_time(name, op, x, iters, gbytes=None, extra=""):
-    """op: x -> y (any pytree). Returns seconds per iteration."""
-    nd = x.ndim
-
-    def body(c, _):
-        y = op(c)
-        s = jax.tree_util.tree_reduce(
-            lambda a, l: a + jnp.sum(jax.tree_util.tree_leaves(l)[0].ravel()[:1].astype(jnp.float32)),
-            y,
-            jnp.float32(0),
-        )
-        upd = (c.ravel()[:1] + (s * 1e-30).astype(c.dtype)).reshape((1,) * nd)
-        c2 = lax.dynamic_update_slice(c, upd.astype(c.dtype), (0,) * nd)
-        return c2, ()
-
-    f = jax.jit(lambda x0: jnp.sum(lax.scan(body, x0, None, length=iters)[0].ravel()[:1]))
-    np.asarray(f(x))  # compile + warm
-    t0 = time.perf_counter()
-    out = f(x)
-    np.asarray(out)
-    dt = (time.perf_counter() - t0 - 0.0035) / iters
-    bw = f"  {gbytes / dt:7.1f} GB/s" if gbytes else ""
-    print(f"{name:46s} {dt * 1e3:8.2f} ms{bw}  {extra}", flush=True)
-    return dt
-
+from tools._bench import loop_time  # noqa: E402
 
 def main():
     ap = argparse.ArgumentParser()
