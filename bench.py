@@ -48,6 +48,7 @@ def measure(
     iters: int = 5,
     xla_options: dict | None = None,
     pair_batch: bool = False,
+    view_num: int = VIEW_NUM,
 ):
     import jax
     import jax.numpy as jnp
@@ -57,11 +58,11 @@ def measure(
     from atvsnet_tpu.models.tvsnet import init_params
 
     cfg = PipelineConfig(
-        view_num=VIEW_NUM, max_d=D, max_h=H, max_w=W, compute_dtype=compute_dtype,
+        view_num=view_num, max_d=D, max_h=H, max_w=W, compute_dtype=compute_dtype,
         pair_batch=pair_batch,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
-    images, cams = _inputs()
+    images, cams = _inputs(view_num)
 
     params = jax.device_put(params, device)
     images = jax.device_put(jnp.asarray(images), device)
@@ -97,6 +98,7 @@ def main() -> None:
         "--xla-option xla_tpu_scoped_vmem_limit_kib=65536",
     )
     ap.add_argument("--pair-batch", action="store_true")
+    ap.add_argument("--view-num", type=int, default=VIEW_NUM)
     args = ap.parse_args()
     xla_options = dict(kv.split("=", 1) for kv in args.xla_option)
 
@@ -107,7 +109,8 @@ def main() -> None:
     setup_jax()
     dev = jax.devices()[0]
     dm_per_s = measure(
-        dev, args.dtype, args.iters, xla_options=xla_options, pair_batch=args.pair_batch
+        dev, args.dtype, args.iters, xla_options=xla_options,
+        pair_batch=args.pair_batch, view_num=args.view_num,
     )
 
     baseline = None
@@ -132,9 +135,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "eth3d_5view_depth_maps_per_sec_per_chip",
+                "metric": f"eth3d_{args.view_num}view_depth_maps_per_sec_per_chip",
                 "value": round(dm_per_s, 4),
-                "unit": f"depth maps/s (5-view, 480x896, D=128, {args.dtype})",
+                "unit": f"depth maps/s ({args.view_num}-view, 480x896, D=128, {args.dtype})",
                 "vs_baseline": round(dm_per_s / baseline, 2),
                 "dtype": args.dtype,
             }
