@@ -90,6 +90,20 @@ class PipelineConfig:
     shallow_base_filter: int = 16  # ResNetDS2SPP_shallow_f16 (atvsnet.py:247)
     refine_base_filter: int = 8   # CostVolRefineNet base (atvsnet.py:297)
 
+    def __post_init__(self):
+        # the 3-level stride-2 U-Nets (CRM/refine) need the depth axis and the
+        # 1/4-res spatial dims divisible by 8 -> inputs divisible by 32 (the same
+        # constraint the reference's crop enforces, preprocess.py:63); validate
+        # here so a bad config fails with a clear message, not a deep shape error
+        if self.max_d % 8 != 0:
+            raise ValueError(f"max_d must be a multiple of 8, got {self.max_d}")
+        if self.max_h % 32 != 0 or self.max_w % 32 != 0:
+            raise ValueError(
+                f"max_h/max_w must be multiples of 32, got {self.max_h}x{self.max_w}"
+            )
+        if self.view_num < 2:
+            raise ValueError(f"view_num must be >= 2, got {self.view_num}")
+
     @property
     def dtype(self) -> jnp.dtype:
         return jnp.dtype(self.compute_dtype)

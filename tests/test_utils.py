@@ -146,3 +146,17 @@ class TestOrbax:
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+class TestConfigValidation:
+    def test_bad_max_d_rejected(self):
+        import pytest
+        from atvsnet_tpu.config import PipelineConfig
+
+        with pytest.raises(ValueError, match="max_d"):
+            PipelineConfig(max_d=100)
+        with pytest.raises(ValueError, match="multiples of 32"):
+            PipelineConfig(max_h=100)
+        with pytest.raises(ValueError, match="view_num"):
+            PipelineConfig(view_num=1)
+        PipelineConfig(max_d=8, max_h=32, max_w=32)  # valid: no raise
