@@ -8,7 +8,7 @@ adaptive-scaling policy of the eval driver (eval_pointcloud.py:124-207).
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

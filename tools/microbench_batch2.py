@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -20,9 +19,7 @@ from atvsnet_tpu.utils.runtime import setup_jax  # noqa: E402
 
 setup_jax()
 
-import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-from jax import lax  # noqa: E402
 
 from atvsnet_tpu.nn import layers as L  # noqa: E402
 

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -15,7 +14,6 @@ setup_jax()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
-from jax import lax  # noqa: E402
 
 from atvsnet_tpu.nn import layers as L  # noqa: E402
 from atvsnet_tpu.nn.blocks import res_block  # noqa: E402
