@@ -67,9 +67,15 @@ def run_eval_pc(
         log.warn("no --params given: using seeded random weights")
         params = init_params(jax.random.PRNGKey(seed), cfg)
 
-    fwd = jax.jit(
-        lambda p, i, c: multi_view_forward(p, i, c, cfg, out_prob_map=True)
-    )
+    def _fwd(p, i, c):
+        out = multi_view_forward(p, i, c, cfg, out_prob_map=True)
+        # return ONLY what the driver consumes: the full dict would force the
+        # (P, B, D, h, w) pair-volume stacks to materialize as jit outputs (XLA
+        # cannot DCE them) and, on tunneled-device setups, to transfer — measured
+        # ~20s/image vs ~1s at eval scale
+        return {"depth": out["depth"], "confidence": out["confidence"]}
+
+    fwd = jax.jit(_fwd)
 
     os.makedirs(savepath, exist_ok=True)
     for scene in scenes:
