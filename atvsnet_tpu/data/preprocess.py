@@ -175,8 +175,11 @@ def prepare_mvs_sample(
     multiples with principal-point shift, per-image variance normalization,
     inverse-depth sweep conversion, and cost-volume-scale intrinsics.
     """
-    images = list(images)
-    cams = [np.copy(c) for c in cams]
+    # truncate extra views (same policy as load_mvs_sample's min(view_num, n)) so
+    # callers feeding more neighbors than the bucket get the driver behavior, not a
+    # deep shape error inside the forward
+    images = list(images)[:view_num]
+    cams = [np.copy(c) for c in cams[:view_num]]
     # pad with the reference view when fewer neighbors exist (eval_pointcloud.py:115-121)
     while len(images) < view_num:
         images.append(images[0])

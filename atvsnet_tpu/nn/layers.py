@@ -263,9 +263,10 @@ def batch_stat_norm(
         # materializing an fp32 copy of the volume (the pipeline is HBM-bound —
         # 226GB traffic/forward measured). Both moments come from ONE fused
         # reduction pass over x (multi-output fusion); the var = E[x^2] - mean^2
-        # form loses nothing observable here: activations are post-conv/post-norm
-        # with |mean| ~ std, far from the fp32 cancellation regime, and the fp32
-        # reference path keeps the two-pass centered formula.
+        # form (used by the fp32 branch above as well) loses nothing observable
+        # here: activations are post-conv/post-norm with |mean| ~ std, far from
+        # the fp32 cancellation regime, and eps=1e-3 dominates any residual
+        # negative-variance cancellation.
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         m2 = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)

@@ -56,6 +56,14 @@ def _block_rows(h: int, D: int, w: int, target: int = 16):
     (1,128,16,896) block runs at 15.05M of the 16M limit; (1,128,16,960) exceeded
     it by 128K — lanes pad to multiples of 128, so 960 pads to 1024). Returns None
     when even the smallest legal block exceeds the budget (caller falls back to XLA).
+
+    Calibration scope: the 2.05x factor was measured at D=128 fp32 input on a v5e
+    with the default 16MB scoped-vmem limit. A different D/dtype or compiler
+    version can shift the true footprint; the failure mode of an over-budget block
+    is a COMPILE-TIME Mosaic error (never silent wrong results), and the 512K
+    headroom in _vmem_budget absorbs small drift. If the limit is raised via
+    xla_tpu_scoped_vmem_limit_kib, set ATVSNET_SCOPED_VMEM_KIB to match (the env
+    var is read at trace time, so set it before the first jit of the kernel).
     """
     w_pad = -(-w // 128) * 128
     candidates = [t for t in range(min(target, h), 0, -1) if h % t == 0 and t % 8 == 0]

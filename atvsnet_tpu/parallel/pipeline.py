@@ -89,7 +89,7 @@ def multi_view_forward_spmd(
     stacked = jnp.moveaxis(filtered_costs, 0, -1)       # (B, D, h, w, C, P)
     cost_agg = aam_aggregate(params, stacked, stage=1)
     prob_agg = aam_output_conv(params, cost_agg, stage=1)
-    depth_agg = prob2depth(prob_agg, D, depth_start, depth_interval)
+    depth_agg = prob2depth(prob_agg, D, depth_start, depth_interval, impl=cfg.softargmin_impl)
 
     # ---- stage 3: refinement per pair (sharded over 'view') ----
     def refine_pair(depth_view, view_cam, shallow_view):
@@ -116,12 +116,15 @@ def multi_view_forward_spmd(
     }
     if out_prob_map:
         depth, depth_up, conf, conf_up = prob2depth_upsample(
-            prob_agg2, D, depth_start, depth_interval, out_prob_map=True
+            prob_agg2, D, depth_start, depth_interval, out_prob_map=True,
+            impl=cfg.softargmin_impl,
         )
         out["confidence"] = constrain_batch(conf)
         out["confidence_up"] = constrain_batch(conf_up)
     else:
-        depth, depth_up = prob2depth_upsample(prob_agg2, D, depth_start, depth_interval)
+        depth, depth_up = prob2depth_upsample(
+            prob_agg2, D, depth_start, depth_interval, impl=cfg.softargmin_impl
+        )
     out["depth"] = constrain_batch(depth)
     out["depth_up"] = constrain_batch(depth_up)
     return out

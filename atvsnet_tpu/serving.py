@@ -124,6 +124,16 @@ class DepthEstimator:
         if preprocessed:
             images = list(images)
             cams = [np.copy(cm) for cm in cams]
+            # preprocessed inputs must match the compiled bucket exactly: off-bucket
+            # shapes would trigger a silent per-shape recompile, and non-32-multiple
+            # shapes fail with a deep U-Net shape error instead of this message
+            for v, im in enumerate(images):
+                if im.shape[:2] != (c.max_h, c.max_w):
+                    raise ValueError(
+                        f"preprocessed view {v} has shape {im.shape[:2]}, but this "
+                        f"estimator is compiled for ({c.max_h}, {c.max_w}); resize/pad "
+                        "the inputs or use preprocessed=False for host preparation"
+                    )
             # view-padding applies to this path too (preprocessed inputs skip only
             # the scaling/cropping/normalization, not the view-count contract)
             while len(images) < c.view_num:

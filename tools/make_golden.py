@@ -31,6 +31,7 @@ import jax.numpy as jnp  # noqa: E402
 from atvsnet_tpu.config import PipelineConfig  # noqa: E402
 from atvsnet_tpu.models.atvsnet import multi_view_forward  # noqa: E402
 from atvsnet_tpu.models.tvsnet import init_params, two_view_forward  # noqa: E402
+from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd  # noqa: E402
 from tests._utils import synthetic_scene  # noqa: E402
 
 
@@ -44,6 +45,13 @@ def golden_cases():
             "mv3_32_compat",
             PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32, reference_compat=True),
             multi_view_forward,
+        ),
+        # the vmap/SPMD pipeline (mesh=None here): pins the pair-materialized variant
+        # so op-selection/routing drift vs the scan pipeline trips the suite
+        (
+            "mv5_64_spmd",
+            PipelineConfig(view_num=5, max_d=16, max_h=64, max_w=64),
+            multi_view_forward_spmd,
         ),
     ]
 
