@@ -118,6 +118,75 @@ def to_inverse_depth_range(cam: np.ndarray, max_d: int) -> np.ndarray:
     return cam
 
 
+def find_gt_depth_path(ref_image_path: str) -> str | None:
+    """Locate a GT depth map for a reference image (eval_pointcloud.py:171-178).
+
+    The reference's chain: a sidecar `<stem>.txt` next to the image holds the real
+    filename; that name resolved under the sibling `depths/` folder (images/ ->
+    depths/) with an `.exr` extension is the GT. Also accepts `.pfm` (this repo's
+    native float format) when no EXR exists.
+    """
+    import os
+
+    stem_txt = os.path.splitext(ref_image_path)[0] + ".txt"
+    if not os.path.exists(stem_txt):
+        return None
+    with open(stem_txt) as f:
+        filename = f.readline().strip()
+    named = os.path.join(os.path.dirname(ref_image_path), filename)
+    depth_base = os.path.splitext(named.replace(os.sep + "images" + os.sep,
+                                                os.sep + "depths" + os.sep))[0]
+    for ext in (".exr", ".pfm"):
+        if os.path.exists(depth_base + ext):
+            return depth_base + ext
+    return None
+
+
+def read_gt_depth(path: str) -> np.ndarray:
+    """Read a GT depth map (.exr via imageio/cv2, .pfm via the native reader)."""
+    if path.endswith(".pfm"):
+        from atvsnet_tpu.data.pfm import load_pfm
+
+        return np.asarray(load_pfm(path), np.float32)
+    try:
+        import imageio
+
+        d = np.asarray(imageio.imread(path), np.float32)
+    except Exception:
+        d = cv2.imread(path, cv2.IMREAD_UNCHANGED).astype(np.float32)
+    if d.ndim == 3:
+        d = d[:, :, 0]
+    return d
+
+
+def sweep_range_from_gt(
+    cams: list, depth_gt: np.ndarray, max_d: int, inverse_depth: bool = True
+) -> list:
+    """Override every view's sweep row from the GT depth range
+    (reference eval_pointcloud.py:179-193, masking-order quirks included).
+
+    The reference computes disp_max BEFORE masking non-positives and disp_min after,
+    so the range is [min positive (inverse-)depth, max (inverse-)depth].
+    """
+    d = depth_gt.astype(np.float32).copy()
+    if inverse_depth:
+        d[d <= 0.0] = np.inf
+        d = 1.0 / d
+    disp_max = float(np.max(d))
+    d[d <= 0.0] = np.inf
+    disp_min = float(np.min(d))
+    disp_interval = (disp_max - disp_min) / max_d
+    out = []
+    for cam in cams:
+        cam = np.copy(cam)
+        cam[1][3][0] = disp_min
+        cam[1][3][1] = disp_interval
+        cam[1][3][2] = max_d
+        cam[1][3][3] = disp_max
+        out.append(cam)
+    return out
+
+
 def load_mvs_sample(
     paths: Sequence[str],
     view_num: int,
@@ -128,6 +197,7 @@ def load_mvs_sample(
     inverse_depth: bool = True,
     adaptive_scaling: bool = True,
     base_image_size: int = 32,
+    gt_range: bool = False,
 ):
     """Load one [ref, views...] sample as the eval driver does (eval_pointcloud.py:96-209).
 
@@ -136,6 +206,10 @@ def load_mvs_sample(
       images_raw    (1, N, H, W, 3) uint8/float cropped raw images (full res)
       cams          (1, N, 2, 4, 4) float32, intrinsics at sample_scale
       index         ref image index (int)
+
+    gt_range=True additionally looks for a GT depth map next to the reference image
+    (find_gt_depth_path) and, when found, overrides the sweep range from it
+    (reference eval_pointcloud.py:171-193).
     """
     n_available = len(paths) // 2
     images, cams = [], []
@@ -145,11 +219,18 @@ def load_mvs_sample(
 
     import os
 
+    gt_depth = None
+    if gt_range:
+        gt_path = find_gt_depth_path(paths[0])
+        if gt_path is not None:
+            gt_depth = read_gt_depth(gt_path)
+
     index = int(os.path.splitext(os.path.basename(paths[0]))[0])
     out = prepare_mvs_sample(
         images, cams, view_num, max_d=max_d, max_h=max_h, max_w=max_w,
         sample_scale=sample_scale, inverse_depth=inverse_depth,
         adaptive_scaling=adaptive_scaling, base_image_size=base_image_size,
+        gt_depth=gt_depth,
     )
     out["index"] = index
     return out
@@ -166,6 +247,7 @@ def prepare_mvs_sample(
     inverse_depth: bool = True,
     adaptive_scaling: bool = True,
     base_image_size: int = 32,
+    gt_depth: np.ndarray | None = None,
 ):
     """In-memory version of load_mvs_sample: [ref, views...] arrays + (2,4,4) cams.
 
@@ -174,6 +256,10 @@ def prepare_mvs_sample(
     bucket, pad-and-mask for smaller inputs, center-crop to base_image_size
     multiples with principal-point shift, per-image variance normalization,
     inverse-depth sweep conversion, and cost-volume-scale intrinsics.
+
+    gt_depth: optional GT depth map for the reference view; when given, the sweep
+    range is overridden from it AFTER the inverse-depth conversion, exactly where
+    the reference applies its override (eval_pointcloud.py:171-193).
     """
     # truncate extra views (same policy as load_mvs_sample's min(view_num, n)) so
     # callers feeding more neighbors than the bucket get the driver behavior, not a
@@ -210,6 +296,8 @@ def prepare_mvs_sample(
     centered = [center_image(im) for im in images]
     if inverse_depth:
         cams = [to_inverse_depth_range(c, max_d) for c in cams]
+    if gt_depth is not None:
+        cams = sweep_range_from_gt(cams, gt_depth, max_d, inverse_depth=inverse_depth)
     cams = [scale_camera_np(c, sample_scale) for c in cams]
 
     return {

@@ -236,24 +236,25 @@ def batch_stat_norm(
     beta: Optional[jnp.ndarray] = None,
     groups: int = 1,
 ) -> jnp.ndarray:
-    """Normalize by batch statistics over all non-channel axes (training-mode BN).
+    """Normalize by PER-SAMPLE statistics over the spatial axes (training-mode BN
+    at batch_size=1, which is the only regime the reference ever runs).
 
     tf.layers.batch_normalization(training=True) with center=scale=False computes
-    biased moments over (batch, spatial) per channel; eps defaults to 1e-3.
-    Statistics always accumulate in fp32.
+    biased moments over (batch, spatial) per channel, eps 1e-3; every reference
+    driver feeds batch_size=1 (example.py:25-48), so those moments are per-sample.
+    Statistics here reduce over axes 1..ndim-2 (spatial only, per batch element,
+    per channel) — identical to the reference at B=1, and it makes the batch axis
+    a PURE throughput axis: stacking distinct ref images (eval --batch N, SPMD
+    'data' sharding) reproduces the B=1 outputs bit-for-bit instead of coupling
+    samples through shared statistics. Statistics always accumulate in fp32.
 
-    groups > 1: the leading batch axis is `groups` independent towers stacked
-    together (the pipeline batches the weight-shared per-pair/per-direction CRM and
-    refine passes into one set of convs); statistics are computed per tower — the
-    exact semantics of running each tower through its own BN.
+    groups is accepted for API compatibility and ignored: per-sample statistics
+    subsume per-tower grouping (each stacked tower element IS a leading-axis
+    element, so it already gets its own statistics).
     """
+    del groups
     orig_shape = x.shape
-    if groups > 1:
-        assert orig_shape[0] % groups == 0, (orig_shape, groups)
-        x = x.reshape((groups, orig_shape[0] // groups) + orig_shape[1:])
-        axes = tuple(range(1, x.ndim - 1))
-    else:
-        axes = tuple(range(x.ndim - 1))
+    axes = tuple(range(1, x.ndim - 1))
     if x.dtype == jnp.float32:
         mean = jnp.mean(x, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(x), axis=axes, keepdims=True) - jnp.square(mean)

@@ -23,6 +23,20 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def parse_mesh_spec(spec: str) -> tuple[int, int]:
+    """'data=2,view=4' -> (2, 4); missing axes default to 1."""
+    axes = {"data": 1, "view": 1}
+    for part in spec.split(","):
+        if not part:
+            continue
+        name, _, val = part.partition("=")
+        name = name.strip()
+        if name not in axes:
+            raise ValueError(f"unknown mesh axis {name!r} (want data/view)")
+        axes[name] = int(val)
+    return axes["data"], axes["view"]
+
+
 def make_mesh(
     n_data: int = 1,
     n_view: int = 1,

@@ -1,22 +1,31 @@
-"""In-process serving API: load weights once, serve depth maps from one compiled program.
+"""In-process serving API: load weights once, serve depth maps from compiled programs.
 
 The reference has no serving story — its drivers rebuild the TF graph and restore the
 checkpoint per process (reference atvsnet/example.py:51-302). Here a `DepthEstimator`
 holds device-resident parameters and ONE jit-compiled N-view program per shape bucket;
-every request in the bucket reuses it (first call compiles, subsequent calls are pure
+every request routes to the best-fitting bucket and reuses its program (first call per
+bucket compiles — amortized by the persistent XLA cache — subsequent calls are pure
 device execution). Built for deployment loops: feed scenes as in-memory arrays or
 file paths, get metric depth + confidence back, already un-padded.
 
     est = DepthEstimator(PipelineConfig(view_num=5), params_path="model.npz")
+    est.add_bucket(max_h=256, max_w=320)  # optional second resolution bucket
     out = est.predict(images, cams)       # lists of np arrays / (2,4,4) cams
     out["depth"]                          # (H/4, W/4) metric depth
     out["depth_up"], out["confidence"]    # 4x-upsampled depth, confidence map
+
+Multi-chip: pass mesh="data=2,view=4" (or a prebuilt jax Mesh) and every bucket's
+program runs the SPMD pipeline over it — view pairs shard over 'view', the batch over
+'data' (SURVEY.md §2.3; parallel/pipeline.py).
+
+The parameter tree is fully convolutional (no shape-dependent weights), so ALL buckets
+share the same device-resident params.
 """
 
 from __future__ import annotations
 
 import time
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 import numpy as np
 
@@ -24,12 +33,17 @@ from atvsnet_tpu.config import PipelineConfig
 from atvsnet_tpu.data.preprocess import prepare_mvs_sample
 
 
+def _bucket_key(cfg: PipelineConfig) -> tuple:
+    return (cfg.view_num, cfg.max_h, cfg.max_w, cfg.max_d, cfg.compute_dtype)
+
+
 class DepthEstimator:
     """Persistent multi-view depth inference session.
 
     Equivalent pipeline to cli/eval_pointcloud.py per-image inference
     (reference eval_pointcloud.py:212-397), packaged for reuse: parameters live on
-    the device, the forward is compiled once per PipelineConfig bucket.
+    the device, one compiled program per registered shape bucket, requests routed
+    to the smallest bucket that fits (padding up when possible).
     """
 
     def __init__(
@@ -39,6 +53,7 @@ class DepthEstimator:
         params_path: Optional[str] = None,
         seed: int = 0,
         with_confidence: bool = True,
+        mesh: Union[str, "object", None] = None,
     ):
         from atvsnet_tpu.utils.runtime import setup_jax
 
@@ -46,14 +61,20 @@ class DepthEstimator:
         import jax
         import jax.numpy as jnp
 
-        from atvsnet_tpu.models.atvsnet import multi_view_forward, sweep_to_depth
-        from atvsnet_tpu.models.tvsnet import init_params, two_view_forward
+        from atvsnet_tpu.models.tvsnet import init_params
         from atvsnet_tpu.utils.ckpt import load_params
 
         self.cfg = cfg or PipelineConfig()
         self.with_confidence = with_confidence and self.cfg.view_num > 2
         self._jax = jax
         self._jnp = jnp
+
+        if isinstance(mesh, str):
+            from atvsnet_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+
+            n_data, n_view = parse_mesh_spec(mesh)
+            mesh = make_mesh(n_data, n_view)
+        self.mesh = mesh
 
         if params is None:
             if params_path:
@@ -62,46 +83,114 @@ class DepthEstimator:
                 params = init_params(jax.random.PRNGKey(seed), self.cfg)
         self.params = jax.device_put(params)
 
-        c = self.cfg
+        self._programs: dict[tuple, tuple[PipelineConfig, object]] = {}
+        self.add_bucket()  # base bucket from self.cfg
+
+    # ---- bucket registry -------------------------------------------------
+
+    def add_bucket(self, **overrides) -> PipelineConfig:
+        """Register (and lazily compile) a shape bucket: cfg.replace(**overrides).
+
+        Returns the bucket's config. Re-registering an existing bucket is a no-op
+        (the compiled program is kept).
+        """
+        c = self.cfg.replace(**overrides) if overrides else self.cfg
+        key = _bucket_key(c)
+        if key not in self._programs:
+            self._programs[key] = (c, self._build_fwd(c))
+        return self._programs[key][0]
+
+    @property
+    def buckets(self) -> list[PipelineConfig]:
+        return [c for c, _ in self._programs.values()]
+
+    def _build_fwd(self, c: PipelineConfig):
+        import jax
+
+        from atvsnet_tpu.models.atvsnet import multi_view_forward, sweep_to_depth
+        from atvsnet_tpu.models.tvsnet import two_view_forward
+
+        with_conf = self.with_confidence and c.view_num > 2
+
+        def _prune(out):
+            # metric conversion inside the jitted program: no extra host/device
+            # round trip of the full-resolution maps per request
+            keep = {
+                "depth": sweep_to_depth(out["depth"], c.inverse_depth),
+                "depth_up": sweep_to_depth(out["depth_up"], c.inverse_depth),
+            }
+            if with_conf and "confidence" in out:
+                keep["confidence"] = out["confidence"]
+                keep["confidence_up"] = out["confidence_up"]
+            return keep
+
         if c.view_num == 2:
 
             def fwd(p, images, cams):
-                out = two_view_forward(p, images, cams, c)
-                return {
-                    "depth": sweep_to_depth(out["depth"], c.inverse_depth),
-                    "depth_up": sweep_to_depth(out["depth_up"], c.inverse_depth),
-                }
+                return _prune(two_view_forward(p, images, cams, c))
 
-        else:
+            return jax.jit(fwd)
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd
+
+            mesh = self.mesh
 
             def fwd(p, images, cams):
-                out = multi_view_forward(p, images, cams, c, out_prob_map=self.with_confidence)
-                # metric conversion inside the jitted program: no extra host/device
-                # round trip of the full-resolution maps per request
-                keep = {
-                    "depth": sweep_to_depth(out["depth"], c.inverse_depth),
-                    "depth_up": sweep_to_depth(out["depth_up"], c.inverse_depth),
-                }
-                if self.with_confidence:
-                    keep["confidence"] = out["confidence"]
-                    keep["confidence_up"] = out["confidence_up"]
-                return keep
+                return _prune(
+                    multi_view_forward_spmd(p, images, cams, c, mesh=mesh, out_prob_map=with_conf)
+                )
 
-        self._fwd = jax.jit(fwd)
+            return jax.jit(
+                fwd,
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P("data")),
+                    NamedSharding(mesh, P("data")),
+                ),
+            )
 
-    def warmup(self) -> float:
-        """Compile (and once-execute) the program on synthetic inputs; returns seconds."""
-        c = self.cfg
-        rng = np.random.RandomState(0)
-        images = rng.rand(1, c.view_num, c.max_h, c.max_w, 3).astype(np.float32)
-        cam = np.zeros((2, 4, 4), np.float32)
-        cam[0] = np.eye(4)
-        cam[1, :3, :3] = np.array([[c.max_w, 0, c.max_w / 2], [0, c.max_w, c.max_h / 2], [0, 0, 1]])
-        cam[1, 3] = (0.4, 0.6 / c.max_d, c.max_d, 1.0)
-        cams = np.broadcast_to(cam, (1, c.view_num, 2, 4, 4)).copy()
+        def fwd(p, images, cams):
+            return _prune(multi_view_forward(p, images, cams, c, out_prob_map=with_conf))
+
+        return jax.jit(fwd)
+
+    def _route(self, h: int, w: int) -> tuple[PipelineConfig, object]:
+        """Smallest registered bucket that fits (pad up); else the largest bucket
+        (prepare_mvs_sample downscales into it)."""
+        fitting = [
+            (c.max_h * c.max_w, c, f)
+            for c, f in self._programs.values()
+            if c.max_h >= h and c.max_w >= w
+        ]
+        if fitting:
+            return min(fitting, key=lambda t: t[0])[1:]
+        return max(
+            ((c.max_h * c.max_w, c, f) for c, f in self._programs.values()),
+            key=lambda t: t[0],
+        )[1:]
+
+    # ---- inference -------------------------------------------------------
+
+    def warmup(self, all_buckets: bool = False) -> float:
+        """Compile (and once-execute) the program(s) on synthetic inputs; returns seconds."""
         t0 = time.perf_counter()
-        out = self._fwd(self.params, self._jnp.asarray(images), self._jnp.asarray(cams))
-        np.asarray(out["depth"])
+        for c, f in list(self._programs.values()):
+            rng = np.random.RandomState(0)
+            images = rng.rand(1, c.view_num, c.max_h, c.max_w, 3).astype(np.float32)
+            cam = np.zeros((2, 4, 4), np.float32)
+            cam[0] = np.eye(4)
+            cam[1, :3, :3] = np.array(
+                [[c.max_w, 0, c.max_w / 2], [0, c.max_w, c.max_h / 2], [0, 0, 1]]
+            )
+            cam[1, 3] = (0.4, 0.6 / c.max_d, c.max_d, 1.0)
+            cams = np.broadcast_to(cam, (1, c.view_num, 2, 4, 4)).copy()
+            out = f(self.params, self._jnp.asarray(images), self._jnp.asarray(cams))
+            np.asarray(out["depth"])
+            if not all_buckets:
+                break
         return time.perf_counter() - t0
 
     def predict(
@@ -112,27 +201,37 @@ class DepthEstimator:
     ) -> dict:
         """[ref, view...] images (H, W, 3) + MVSNet-convention cams (2, 4, 4) -> depths.
 
-        Fewer than cfg.view_num views are padded with the reference (the reference
-        driver's fallback, eval_pointcloud.py:115-121). Returns numpy arrays cropped
-        to the valid (un-padded) region:
+        Fewer than the bucket's view_num views are padded with the reference (the
+        reference driver's fallback, eval_pointcloud.py:115-121); extra views are
+        truncated. The request is routed to the smallest registered bucket that fits
+        the input resolution. Returns numpy arrays cropped to the valid (un-padded)
+        region:
           depth          (h, w)   metric depth at cost-volume resolution
           depth_up       (H, W)   metric depth at input resolution (4x)
           confidence(_up)         probability maps (multi-view only)
           runtime_s               device execution time for this call
+          bucket         (max_h, max_w) of the program that served the request
         """
-        c = self.cfg
+        h, w = images[0].shape[:2]
+        c, fwd = self._route(h, w)
         if preprocessed:
-            images = list(images)
-            cams = [np.copy(cm) for cm in cams]
-            # preprocessed inputs must match the compiled bucket exactly: off-bucket
-            # shapes would trigger a silent per-shape recompile, and non-32-multiple
-            # shapes fail with a deep U-Net shape error instead of this message
+            # preprocessed inputs must match a compiled bucket exactly: off-bucket
+            # shapes would silently compile a new program per shape, and
+            # non-32-multiple shapes fail with a deep U-Net shape error
+            if not any(b.max_h == h and b.max_w == w for b in self.buckets):
+                raise ValueError(
+                    f"preprocessed input is {h}x{w}, but the registered buckets are "
+                    f"{[(b.max_h, b.max_w) for b in self.buckets]}; add_bucket"
+                    f"(max_h={h}, max_w={w}) first, or use preprocessed=False"
+                )
+            c, fwd = self._route(h, w)
+            images = list(images)[: c.view_num]
+            cams = [np.copy(cm) for cm in cams[: c.view_num]]
             for v, im in enumerate(images):
                 if im.shape[:2] != (c.max_h, c.max_w):
                     raise ValueError(
-                        f"preprocessed view {v} has shape {im.shape[:2]}, but this "
-                        f"estimator is compiled for ({c.max_h}, {c.max_w}); resize/pad "
-                        "the inputs or use preprocessed=False for host preparation"
+                        f"preprocessed view {v} has shape {im.shape[:2]}, expected "
+                        f"({c.max_h}, {c.max_w}) — all views must match the bucket"
                     )
             # view-padding applies to this path too (preprocessed inputs skip only
             # the scaling/cropping/normalization, not the view-count contract)
@@ -152,7 +251,7 @@ class DepthEstimator:
             )
         jnp = self._jnp
         t0 = time.perf_counter()
-        out = self._fwd(self.params, jnp.asarray(batch["images"]), jnp.asarray(batch["cams"]))
+        out = fwd(self.params, jnp.asarray(batch["images"]), jnp.asarray(batch["cams"]))
         depth = np.asarray(out["depth"], np.float32)  # already metric (fwd converts)
         runtime = time.perf_counter() - t0
 
@@ -162,6 +261,7 @@ class DepthEstimator:
             "depth": depth[0, : int(vh * s), : int(vw * s), 0],
             "depth_up": np.asarray(out["depth_up"], np.float32)[0, :vh, :vw, 0],
             "runtime_s": runtime,
+            "bucket": (c.max_h, c.max_w),
         }
         if "confidence" in out:
             res["confidence"] = np.asarray(out["confidence"], np.float32)[

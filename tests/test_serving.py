@@ -89,6 +89,56 @@ def test_two_view_estimator():
     assert "confidence" not in out
 
 
+def test_bucket_registry_routing():
+    """Two registered resolution buckets: requests route to the smallest that fits
+    (VERDICT r2 item 8); both reuse the one shared param tree."""
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    est = DepthEstimator(cfg)
+    big = est.add_bucket(max_h=64, max_w=64)
+    assert big.max_h == 64 and len(est.buckets) == 2
+
+    # 32x32 input -> 32-bucket; 48x48 -> padded up into the 64-bucket;
+    # 96x96 -> no bucket fits, downscaled into the largest (64)
+    images, cams = _scene_arrays(3, 32, 32, cfg.max_d)
+    assert est.predict(images, cams)["bucket"] == (32, 32)
+    images, cams = _scene_arrays(3, 48, 48, cfg.max_d)
+    out = est.predict(images, cams)
+    assert out["bucket"] == (64, 64)
+    assert out["depth"].shape == (12, 12)  # cropped back to the valid 48x48 region
+    images, cams = _scene_arrays(3, 96, 96, cfg.max_d)
+    assert est.predict(images, cams)["bucket"] == (64, 64)
+
+    # re-registering is a no-op
+    est.add_bucket(max_h=64, max_w=64)
+    assert len(est.buckets) == 2
+
+
+def test_preprocessed_off_bucket_raises():
+    """preprocessed=True with a shape no bucket compiles raises a clear error
+    instead of a silent recompile or a deep shape failure (round-2 advisor)."""
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    est = DepthEstimator(cfg)
+    images, cams = synthetic_scene(view_num=3, H=64, W=64, D=8, seed=0)
+    with pytest.raises(ValueError, match="registered buckets"):
+        est.predict(list(images[0]), list(cams[0]), preprocessed=True)
+
+
+def test_mesh_estimator_matches_single_device():
+    """mesh='data=1,view=2': the SPMD serving program matches the scan pipeline."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    single = DepthEstimator(cfg, seed=0)
+    meshed = DepthEstimator(cfg, seed=0, mesh="data=1,view=2")
+    images, cams = _scene_arrays(3, 32, 32, cfg.max_d)
+    a = single.predict(images, cams)
+    b = meshed.predict(images, cams)
+    np.testing.assert_allclose(b["depth"], a["depth"], rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(b["confidence"], a["confidence"], rtol=2e-4, atol=1e-4)
+
+
 def test_preprocessed_view_padding():
     """preprocessed=True also pads missing views (review finding)."""
     cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
