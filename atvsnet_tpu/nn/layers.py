@@ -34,9 +34,24 @@ from jax import lax
 _DIM_NUMBERS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
 
 
+_FP32_PRECISION = {
+    "highest": lax.Precision.HIGHEST,  # 6-pass bf16 expansion: full fp32 accuracy
+    "high": lax.Precision.HIGH,        # 3-pass: ~tf32-grade accuracy, ~2x faster MXU
+    "default": lax.Precision.DEFAULT,  # 1-pass bf16 inputs (fp32 accumulate)
+}
+
+
 def _precision_for(x: jnp.ndarray):
-    # fp32 activations -> true fp32 matmul passes; bf16 rides the fast MXU path.
-    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else lax.Precision.DEFAULT
+    # fp32 activations -> full-precision MXU passes by default; bf16 rides the fast
+    # path. ATVSNET_FP32_PRECISION=high|default selects a cheaper fp32 conv pass
+    # (VERDICT r2 item 10 middle path) — a PROCESS-LEVEL knob read at trace time:
+    # set it before the first jit and do not flip it mid-process (jit caches would
+    # go stale silently). bench.py --fp32-precision exposes it for measurement.
+    if x.dtype == jnp.float32:
+        import os
+
+        return _FP32_PRECISION[os.environ.get("ATVSNET_FP32_PRECISION", "highest").lower()]
+    return lax.Precision.DEFAULT
 
 
 def _conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int, rate: int = 1, padding="SAME") -> jnp.ndarray:

@@ -40,14 +40,22 @@ def parse_mesh_spec(spec: str) -> tuple[int, int]:
 def make_mesh(
     n_data: int = 1,
     n_view: int = 1,
+    n_depth: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
+    """('data', 'view'[, 'depth']) mesh. The 'depth' axis (SURVEY §2.3 item iii)
+    shards the D=max_d plane axis of the cost volumes — an HBM-capacity alternative
+    to remat for full-resolution training (parallel/pipeline.py); 2-axis meshes are
+    returned when n_depth == 1 so existing 2-axis PartitionSpecs keep working."""
     devices = list(devices if devices is not None else jax.devices())
-    need = n_data * n_view
+    need = n_data * n_view * n_depth
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    arr = np.asarray(devices[:need]).reshape(n_data, n_view)
-    return Mesh(arr, axis_names=("data", "view"))
+    if n_depth == 1:
+        arr = np.asarray(devices[:need]).reshape(n_data, n_view)
+        return Mesh(arr, axis_names=("data", "view"))
+    arr = np.asarray(devices[:need]).reshape(n_data, n_view, n_depth)
+    return Mesh(arr, axis_names=("data", "view", "depth"))
 
 
 def auto_mesh_shape(n_devices: int, num_pairs: int) -> tuple[int, int]:

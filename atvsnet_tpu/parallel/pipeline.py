@@ -45,10 +45,26 @@ def multi_view_forward_spmd(
     depth_start = cams[:, 0, 1, 3, 0]
     depth_interval = cams[:, 0, 1, 3, 1]
 
+    # optional 'depth' mesh axis (SURVEY §2.3 iii): shards the D plane axis of the
+    # pair-stacked volumes (P, B, D, ...) — XLA's partitioner inserts the halo
+    # exchanges the 3D conv stencils and the cross-D soft-argmin reductions need.
+    # An HBM-capacity alternative to remat for full-resolution training
+    # (tools/depth_shard_dryrun.py measures the per-device peak).
+    has_depth = mesh is not None and "depth" in mesh.axis_names
+
     def constrain_pairs(x):
         if mesh is None:
             return x
-        spec = ("view", "data") + (None,) * (x.ndim - 2)
+        spec = ("view", "data", "depth" if has_depth and x.ndim > 2 else None)
+        spec = spec[: x.ndim] + (None,) * (x.ndim - len(spec))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+    def constrain_volume(x):
+        """(B, D, ...) single volumes: batch over 'data', planes over 'depth'."""
+        if mesh is None:
+            return x
+        spec = ("data", "depth" if has_depth and x.ndim > 1 else None)
+        spec = spec[: x.ndim] + (None,) * (x.ndim - len(spec))
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
 
     def constrain_batch(x):
@@ -87,8 +103,8 @@ def multi_view_forward_spmd(
 
     # ---- stage 2: AAM1 (cross-view all-reduce lives inside) ----
     stacked = jnp.moveaxis(filtered_costs, 0, -1)       # (B, D, h, w, C, P)
-    cost_agg = aam_aggregate(params, stacked, stage=1)
-    prob_agg = aam_output_conv(params, cost_agg, stage=1)
+    cost_agg = constrain_volume(aam_aggregate(params, stacked, stage=1))
+    prob_agg = constrain_volume(aam_output_conv(params, cost_agg, stage=1))
     depth_agg = prob2depth(prob_agg, D, depth_start, depth_interval, impl=cfg.softargmin_impl)
 
     # ---- stage 3: refinement per pair (sharded over 'view') ----

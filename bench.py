@@ -49,6 +49,7 @@ def measure(
     xla_options: dict | None = None,
     pair_batch: bool = False,
     view_num: int = VIEW_NUM,
+    batch: int = 1,
 ):
     import jax
     import jax.numpy as jnp
@@ -63,6 +64,16 @@ def measure(
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     images, cams = _inputs(view_num)
+    if batch > 1:
+        # DISTINCT ref images on the batch axis (pure data batching; exact — BN
+        # statistics are per-sample, nn/layers.batch_stat_norm)
+        rng = np.random.RandomState(1)
+        reps = [images] + [
+            images + rng.standard_normal(images.shape).astype(images.dtype) * 0.05
+            for _ in range(batch - 1)
+        ]
+        images = np.concatenate(reps, axis=0)
+        cams = np.concatenate([cams] * batch, axis=0)
 
     params = jax.device_put(params, device)
     images = jax.device_put(jnp.asarray(images), device)
@@ -84,7 +95,7 @@ def measure(
         out = fwd(params, images, cams)
     np.asarray(out)
     dt = (time.perf_counter() - t0) / iters
-    return 1.0 / dt
+    return batch / dt
 
 
 def main() -> None:
@@ -99,7 +110,14 @@ def main() -> None:
     )
     ap.add_argument("--pair-batch", action="store_true")
     ap.add_argument("--view-num", type=int, default=VIEW_NUM)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="distinct ref images per forward (cross-image data batching)")
+    ap.add_argument("--fp32-precision", default=None, choices=["highest", "high", "default"],
+                    help="fp32 conv MXU pass count (nn/layers._precision_for); "
+                         "only meaningful with --dtype float32")
     args = ap.parse_args()
+    if args.fp32_precision:
+        os.environ["ATVSNET_FP32_PRECISION"] = args.fp32_precision
     xla_options = dict(kv.split("=", 1) for kv in args.xla_option)
 
     import jax
@@ -110,7 +128,7 @@ def main() -> None:
     dev = jax.devices()[0]
     dm_per_s = measure(
         dev, args.dtype, args.iters, xla_options=xla_options,
-        pair_batch=args.pair_batch, view_num=args.view_num,
+        pair_batch=args.pair_batch, view_num=args.view_num, batch=args.batch,
     )
 
     baseline = None
