@@ -49,10 +49,13 @@ ETH3D_SCENES = ["lakeside", "sand_box", "storage_room", "storage_room_2", "tunne
 from atvsnet_tpu.parallel.mesh import parse_mesh_spec  # noqa: E402  (re-export)
 
 
-def _write_sample_outputs(out_folder, sample, depth, conf, depth_sweep, sample_scale):
+def _write_sample_outputs(out_folder, sample, depth, conf, depth_sweep, sample_scale,
+                          depth_sweep_up=None):
     """Write one ref image's artifacts (runs on a writer thread).
 
-    depth/conf/depth_sweep: (h, w) float32 host arrays at cost-volume resolution.
+    depth/conf/depth_sweep: (h, w) float32 host arrays at cost-volume resolution;
+    depth_sweep_up: optional 4x-upsampled sweep map for the reference-style viz PNG
+    (the PNG falls back to the native map when the upsample was skipped).
     """
     import cv2
 
@@ -64,6 +67,8 @@ def _write_sample_outputs(out_folder, sample, depth, conf, depth_sweep, sample_s
         depth = depth[:vh4, :vw4]
         conf = conf[:vh4, :vw4]
         depth_sweep = depth_sweep[:vh4, :vw4]
+        if depth_sweep_up is not None:
+            depth_sweep_up = depth_sweep_up[:vh, :vw]
     idx = sample["index"]
     save_pfm(os.path.join(out_folder, f"{idx:08d}.pfm"), depth.astype(np.float32))
     save_pfm(os.path.join(out_folder, f"{idx:08d}_prob.pfm"), conf.astype(np.float32))
@@ -73,7 +78,10 @@ def _write_sample_outputs(out_folder, sample, depth, conf, depth_sweep, sample_s
     h, w = depth.shape[:2]
     cv2.imwrite(os.path.join(out_folder, f"{idx:08d}.jpg"), cv2.resize(ref_img, (w, h)))
     write_cam(os.path.join(out_folder, f"{idx:08d}.txt"), sample["cams"][0, 0])
-    save_colormap(os.path.join(out_folder, f"{idx:08d}.png"), depth_sweep)
+    save_colormap(
+        os.path.join(out_folder, f"{idx:08d}.png"),
+        depth_sweep if depth_sweep_up is None else depth_sweep_up,
+    )
 
 
 def run_eval_pc(
@@ -92,6 +100,7 @@ def run_eval_pc(
     load_workers: int = 6,
     write_workers: int = 2,
     gt_range: bool = False,
+    full_viz: bool = False,
 ) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -102,7 +111,11 @@ def run_eval_pc(
 
     setup_jax()
 
-    from atvsnet_tpu.models.atvsnet import multi_view_forward, sweep_to_depth
+    from atvsnet_tpu.models.atvsnet import (
+        center_images,
+        multi_view_forward,
+        sweep_to_depth,
+    )
     from atvsnet_tpu.models.tvsnet import init_params
     from atvsnet_tpu.utils.ckpt import load_params
 
@@ -126,11 +139,23 @@ def run_eval_pc(
         # (P, B, D, h, w) pair-volume stacks to materialize as jit outputs (XLA
         # cannot DCE them) and, on tunneled-device setups, to transfer — measured
         # ~20s/image vs ~1s at eval scale. Metric conversion happens here, in-jit.
-        return {
-            "depth": sweep_to_depth(out["depth"], cfg.inverse_depth),
-            "depth_sweep": out["depth"],
-            "confidence": out["confidence"],
+        # The three consumed maps are PACKED into one (B, h, w, 3) array: on
+        # tunneled devices each first host fetch of an output costs ~270ms fixed
+        # (RPC setup) regardless of size, so one packed fetch per batch beats
+        # three small ones by ~0.5s/batch.
+        keep = {
+            "packed": jnp.concatenate(
+                [
+                    sweep_to_depth(out["depth"], cfg.inverse_depth),
+                    out["confidence"],
+                    out["depth"],
+                ],
+                axis=-1,
+            )
         }
+        if "depth_up" in out:
+            keep["depth_sweep_up"] = out["depth_up"]
+        return keep
 
     if mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -145,7 +170,12 @@ def run_eval_pc(
         log.info(f"mesh (data={n_data}, view={n_view}), batch={batch}")
 
         def _fwd(p, i, c):
-            return _prune(multi_view_forward_spmd(p, i, c, cfg, mesh=dev_mesh, out_prob_map=True))
+            return _prune(
+                multi_view_forward_spmd(
+                    p, center_images(i), c, cfg, mesh=dev_mesh,
+                    out_prob_map=True, upsample=full_viz,
+                )
+            )
 
         fwd = jax.jit(
             _fwd,
@@ -156,107 +186,181 @@ def run_eval_pc(
             ),
         )
     else:
-
+        # upsample only when the reference-style full-resolution viz PNG is
+        # requested: the driver writes native-resolution PFMs either way (so does
+        # the reference — its *_up writes are commented out) and the upsampled
+        # soft-argmin chain costs ~3x the whole rest of stage 4
         def _fwd(p, i, c):
-            return _prune(multi_view_forward(p, i, c, cfg, out_prob_map=True))
+            return _prune(
+                multi_view_forward(
+                    p, center_images(i), c, cfg, out_prob_map=True, upsample=full_viz
+                )
+            )
 
         fwd = jax.jit(_fwd)
+
+    if mesh:
+        # loader threads put batches directly into the mesh's 'data' sharding
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+        in_sharding = _NS(dev_mesh, _P("data"))
+    else:
+        in_sharding = jax.devices()[0]
 
     os.makedirs(savepath, exist_ok=True)
     load_pool = ThreadPoolExecutor(max_workers=max(1, load_workers))
     write_pool = ThreadPoolExecutor(max_workers=max(1, write_workers))
-    try:
-        for scene in scenes:
-            dense_path = os.path.join(data_root, "eth3d", scene)
-            if not os.path.isdir(dense_path):
-                log.warn(f"scene folder missing, skipping: {dense_path}")
-                continue
-            mvs_list = gen_pipeline_mvs_list(dense_path, view_num)
-            out_folder = os.path.join(savepath, scene, "depths_atvsnet")
-            os.makedirs(out_folder, exist_ok=True)
 
-            def _load(paths):
-                return load_mvs_sample(
-                    paths, view_num, max_d=max_d, max_h=max_h, max_w=max_w,
-                    inverse_depth=cfg.inverse_depth, gt_range=gt_range,
+    def _load(paths):
+        # center=False: raw uint8 ships to the device; center_images runs in-jit
+        return load_mvs_sample(
+            paths, view_num, max_d=max_d, max_h=max_h, max_w=max_w,
+            inverse_depth=cfg.inverse_depth, gt_range=gt_range, center=False,
+        )
+
+    def _load_chunk(paths_chunk):
+        """Decode+preprocess a whole batch off the main thread. On one-vCPU eval
+        hosts every numpy byte the main loop touches serializes with the decode
+        workers; shipping ready batches keeps the loop's only blocking work the
+        drain (which releases the GIL)."""
+        samples = [_load(p) for p in paths_chunk]
+        n_real = len(samples)
+        while len(samples) < batch:  # tail: pad with the last sample
+            samples.append(samples[-1])
+        images = np.concatenate([s["images"] for s in samples], axis=0)
+        cams = np.concatenate([s["cams"] for s in samples], axis=0)
+        return (images, cams), samples, n_real
+
+    # ---- one chunk stream across ALL scenes. Per-scene queues stall the loop at
+    # every scene boundary (the first chunk of a scene has no decode lead time —
+    # measured 4-8s of cold start per scene on a one-vCPU host); a flat stream keeps
+    # the loaders primed through boundaries. All scenes share one compiled program
+    # (one static bucket), so only the output folder differs per chunk. ----
+    scene_meta = []
+    work = []  # (scene_index, [sample paths] of one batch)
+    for scene in scenes:
+        dense_path = os.path.join(data_root, "eth3d", scene)
+        if not os.path.isdir(dense_path):
+            log.warn(f"scene folder missing, skipping: {dense_path}")
+            continue
+        mvs_list = gen_pipeline_mvs_list(dense_path, view_num)
+        out_folder = os.path.join(savepath, scene, "depths_atvsnet")
+        os.makedirs(out_folder, exist_ok=True)
+        si = len(scene_meta)
+        scene_meta.append({
+            "name": scene, "out_folder": out_folder, "n": len(mvs_list),
+            "start": None, "end": 0.0, "done": 0, "write_futures": [],
+        })
+        for i in range(0, len(mvs_list), batch):
+            work.append((si, mvs_list[i : i + batch]))
+
+    from collections import deque
+
+    # bound in-flight decoded chunks (each is ~50MB at 8-view eval scale)
+    window = max(2, (load_workers + batch - 1) // batch + 1)
+    queue = deque()
+    next_i = 0
+
+    def _top_up():
+        nonlocal next_i
+        while next_i < len(work) and len(queue) < window:
+            si, chunk = work[next_i]
+            queue.append((si, load_pool.submit(_load_chunk, chunk)))
+            next_i += 1
+
+    t_load = t_device = t_write_wait = t_dispatch = 0.0
+    pending = None  # (scene idx, device outputs, samples, n_real) awaiting fetch
+    trace = bool(os.environ.get("ATVSNET_DRIVER_TRACE"))
+
+    def _write_one(si, sample, depth, conf, sweep, sweep_up):
+        _write_sample_outputs(
+            scene_meta[si]["out_folder"], sample, depth, conf, sweep,
+            cfg.sample_scale, sweep_up,
+        )
+        scene_meta[si]["end"] = max(scene_meta[si]["end"], time.time())
+
+    def _drain(p):
+        """Materialize a dispatched batch and hand its writes to the pool."""
+        nonlocal t_device
+        t0 = time.time()
+        si, out_dev, samples, n_real = p
+        packed = np.asarray(out_dev["packed"], np.float32)
+        depth, conf, sweep = packed[..., 0], packed[..., 1], packed[..., 2]
+        sweep_up = (
+            np.asarray(out_dev["depth_sweep_up"], np.float32)
+            if "depth_sweep_up" in out_dev else None
+        )
+        dt_drain = time.time() - t0
+        t_device += dt_drain
+        if trace:
+            log.info(f"  drain: {dt_drain:.2f}s")
+        meta = scene_meta[si]
+        for b in range(n_real):
+            meta["write_futures"].append(
+                write_pool.submit(
+                    _write_one, si, samples[b], depth[b], conf[b], sweep[b],
+                    None if sweep_up is None else sweep_up[b, ..., 0],
                 )
+            )
+        meta["done"] += n_real
+        if meta["done"] % 10 < n_real or meta["done"] == meta["n"]:
+            log.info(f"{meta['name']}: {meta['done']}/{meta['n']} drained")
 
-            t_scene = time.time()
-            # bound in-flight decoded samples (each is ~50MB at 8-view eval scale)
-            from collections import deque
-
-            window = max(load_workers, 1) + 2 * batch
-            queue = deque()
-            next_i = 0
-
-            def _top_up():
-                nonlocal next_i
-                while next_i < len(mvs_list) and len(queue) < window:
-                    queue.append(load_pool.submit(_load, mvs_list[next_i]))
-                    next_i += 1
-
+    try:
+        _top_up()
+        for _ci in range(len(work)):
+            if pending is not None and not os.environ.get("ATVSNET_NO_ASYNC_D2H"):
+                # start the previous batch's D2H now; it overlaps the load wait
+                # and dispatch below (each first fetch otherwise pays ~270ms of
+                # synchronous RPC setup on tunneled devices)
+                for a in pending[1].values():
+                    if hasattr(a, "copy_to_host_async"):
+                        a.copy_to_host_async()
+            t0 = time.time()
+            si, fut = queue.popleft()
+            (host_images, host_cams), samples, n_real = fut.result()
             _top_up()
-            n_chunks = (len(mvs_list) + batch - 1) // batch
-
-            t_load = t_device = t_write_wait = 0.0
-            write_futures = []
-            pending = None  # (device outputs, samples, n_real) awaiting materialization
-
-            def _drain(p):
-                """Materialize a dispatched batch and hand its writes to the pool."""
-                nonlocal t_device
-                t0 = time.time()
-                out_dev, samples, n_real = p
-                depth = np.asarray(out_dev["depth"], np.float32)
-                conf = np.asarray(out_dev["confidence"], np.float32)
-                sweep = np.asarray(out_dev["depth_sweep"], np.float32)
-                t_device += time.time() - t0
-                for b in range(n_real):
-                    write_futures.append(
-                        write_pool.submit(
-                            _write_sample_outputs, out_folder, samples[b],
-                            depth[b, ..., 0], conf[b, ..., 0], sweep[b, ..., 0],
-                            cfg.sample_scale,
-                        )
-                    )
-
-            done = 0
-            for _ in range(n_chunks):
-                t0 = time.time()
-                samples = []
-                for _ in range(min(batch, len(queue))):
-                    samples.append(queue.popleft().result())
-                    _top_up()
-                t_load += time.time() - t0
-                n_real = len(samples)
-                while len(samples) < batch:  # tail: pad with the last sample
-                    samples.append(samples[-1])
-                images = np.concatenate([s["images"] for s in samples], axis=0)
-                cams = np.concatenate([s["cams"] for s in samples], axis=0)
-                out_dev = fwd(params, jnp.asarray(images), jnp.asarray(cams))
-                if pending is not None:
-                    _drain(pending)
-                pending = (out_dev, samples, n_real)
-                done += n_real
-                if done % 10 < n_real:
-                    log.info(f"{scene}: {done}/{len(mvs_list)} dispatched")
+            dt_load = time.time() - t0
+            t_load += dt_load
+            if trace:
+                log.info(f"  chunk {_ci}: load-wait {dt_load:.2f}s")
+            if scene_meta[si]["start"] is None:
+                scene_meta[si]["start"] = t0
+            t0 = time.time()
+            out_dev = fwd(
+                params,
+                jax.device_put(host_images, in_sharding),
+                jax.device_put(host_cams, in_sharding),
+            )
+            t_dispatch += time.time() - t0
             if pending is not None:
                 _drain(pending)
-            t0 = time.time()
-            for f in write_futures:
+            pending = (si, out_dev, samples, n_real)
+        if pending is not None:
+            _drain(pending)
+        t0 = time.time()
+        for meta in scene_meta:
+            for f in meta["write_futures"]:
                 f.result()  # surface writer exceptions
-            t_write_wait += time.time() - t0
-            scene_runtime = time.time() - t_scene
+        t_write_wait += time.time() - t0
 
-            with open(os.path.join(savepath, scene, "zz_runtime.txt"), "w") as f:
+        for meta in scene_meta:
+            if meta["start"] is None:
+                continue
+            scene_runtime = max(meta["end"], meta["start"]) - meta["start"]
+            with open(
+                os.path.join(savepath, meta["name"], "zz_runtime.txt"), "w"
+            ) as f:
                 f.write("runtime " + str(scene_runtime))
-            n = len(mvs_list)
+            n = meta["n"]
             log.info(
-                f"{scene}: {n} ref images in {scene_runtime:.1f}s wall "
-                f"({n / max(scene_runtime, 1e-9):.2f} maps/s; blocked: "
-                f"load {t_load:.1f}s, device+D2H {t_device:.1f}s, "
-                f"write-flush {t_write_wait:.1f}s)"
+                f"{meta['name']}: {n} ref images in {scene_runtime:.1f}s wall "
+                f"({n / max(scene_runtime, 1e-9):.2f} maps/s)"
             )
+        log.info(
+            f"run blocked: load {t_load:.1f}s, dispatch {t_dispatch:.1f}s, "
+            f"device+D2H {t_device:.1f}s, write-flush {t_write_wait:.1f}s"
+        )
     finally:
         load_pool.shutdown(wait=False)
         write_pool.shutdown(wait=True)
@@ -283,6 +387,10 @@ def main() -> None:
     ap.add_argument("--gt_range", action="store_true",
                     help="override sweep ranges from GT depth maps when present "
                          "(reference eval_pointcloud.py:171-193)")
+    ap.add_argument("--full_viz", action="store_true",
+                    help="render the viz PNG from the 4x-upsampled map like the "
+                         "reference (costs the full upsampled soft-argmin chain; "
+                         "the PFM outputs are identical either way)")
     args = ap.parse_args()
     run_eval_pc(
         args.data_root, args.savepath, args.scenes,
@@ -290,7 +398,7 @@ def main() -> None:
         params_path=args.params, compute_dtype=args.dtype,
         batch=args.batch, mesh=args.mesh,
         load_workers=args.load_workers, write_workers=args.write_workers,
-        gt_range=args.gt_range,
+        gt_range=args.gt_range, full_viz=args.full_viz,
     )
 
 

@@ -22,7 +22,17 @@ from atvsnet_tpu.geometry.cameras import scale_camera_np
 
 
 def center_image(img: np.ndarray) -> np.ndarray:
-    """Per-image, per-channel variance normalization (preprocess.py:20-25)."""
+    """Per-image, per-channel variance normalization (preprocess.py:20-25).
+
+    cv2.meanStdDev computes both moments in ONE C pass (population std, double
+    accumulation — same statistics as the numpy formulation): ~10x faster than the
+    two numpy reductions on the single-core eval hosts this driver targets.
+    """
+    if cv2 is not None and img.ndim == 3 and img.shape[-1] <= 4:
+        mean, std = cv2.meanStdDev(img)
+        mean = mean.reshape(1, 1, -1).astype(np.float32)
+        std = std.reshape(1, 1, -1).astype(np.float32)
+        return (img.astype(np.float32) - mean) / (std + 1e-8)
     img = img.astype(np.float32)
     var = np.var(img, axis=(0, 1), keepdims=True)
     mean = np.mean(img, axis=(0, 1), keepdims=True)
@@ -198,6 +208,7 @@ def load_mvs_sample(
     adaptive_scaling: bool = True,
     base_image_size: int = 32,
     gt_range: bool = False,
+    center: bool = True,
 ):
     """Load one [ref, views...] sample as the eval driver does (eval_pointcloud.py:96-209).
 
@@ -230,7 +241,7 @@ def load_mvs_sample(
         images, cams, view_num, max_d=max_d, max_h=max_h, max_w=max_w,
         sample_scale=sample_scale, inverse_depth=inverse_depth,
         adaptive_scaling=adaptive_scaling, base_image_size=base_image_size,
-        gt_depth=gt_depth,
+        gt_depth=gt_depth, center=center,
     )
     out["index"] = index
     return out
@@ -248,6 +259,7 @@ def prepare_mvs_sample(
     adaptive_scaling: bool = True,
     base_image_size: int = 32,
     gt_depth: np.ndarray | None = None,
+    center: bool = True,
 ):
     """In-memory version of load_mvs_sample: [ref, views...] arrays + (2,4,4) cams.
 
@@ -260,6 +272,10 @@ def prepare_mvs_sample(
     gt_depth: optional GT depth map for the reference view; when given, the sweep
     range is overridden from it AFTER the inverse-depth conversion, exactly where
     the reference applies its override (eval_pointcloud.py:171-193).
+
+    center=False skips the host-side variance normalization: "images" then aliases
+    the raw uint8 stack and the caller must normalize on device
+    (models.atvsnet.center_images) before the forward.
     """
     # truncate extra views (same policy as load_mvs_sample's min(view_num, n)) so
     # callers feeding more neighbors than the bucket get the driver behavior, not a
@@ -293,16 +309,26 @@ def prepare_mvs_sample(
         images = pad_mvs_input(images, max_h, max_w)
     images, cams = crop_mvs_input(images, cams, max_h, max_w, base_image_size=base_image_size)
 
-    centered = [center_image(im) for im in images]
     if inverse_depth:
         cams = [to_inverse_depth_range(c, max_d) for c in cams]
     if gt_depth is not None:
         cams = sweep_range_from_gt(cams, gt_depth, max_d, inverse_depth=inverse_depth)
     cams = [scale_camera_np(c, sample_scale) for c in cams]
 
+    raw = np.expand_dims(np.stack(images), 0)
+    if center:
+        stacked = np.stack([center_image(im) for im in images])
+        if stacked.dtype != np.float32:  # avoid a gratuitous 25MB copy when already f32
+            stacked = stacked.astype(np.float32)
+        images_out = np.expand_dims(stacked, 0)
+    else:
+        # caller normalizes on device (models.atvsnet.center_images); "images" then
+        # aliases the raw uint8 stack — ~4x fewer H2D bytes and no fp32 host pass,
+        # which is what the one-vCPU eval hosts are starved of
+        images_out = raw
     return {
-        "images": np.expand_dims(np.stack(centered), 0).astype(np.float32),
-        "images_raw": np.expand_dims(np.stack(images), 0),
+        "images": images_out,
+        "images_raw": raw,
         "cams": np.expand_dims(np.stack(cams), 0).astype(np.float32),
         # valid (un-padded) region of the reference view at FULL resolution;
         # equals the bucket unless the inputs were smaller and got padded

@@ -36,11 +36,19 @@ def multi_view_forward(
     cams: jnp.ndarray,
     cfg: PipelineConfig,
     out_prob_map: bool = False,
+    upsample: bool = True,
 ):
     """images (B, N, H, W, 3), cams (B, N, 2, 4, 4) -> depth/confidence outputs.
 
     Equivalent to run_test_multiview (reference example.py:51-216) / run_eval_pc
     (eval_pointcloud.py:212-397) but with zero host round-trips.
+
+    upsample=False skips the 4x-upsampled stage-4 outputs entirely (no depth_up /
+    confidence_up keys). The upsampled soft-argmin runs as a row-tiled lax.map whose
+    unused outputs XLA cannot DCE through the loop, so callers that only consume the
+    native-resolution maps (the ETH3D eval driver — the reference also writes only
+    the native PFMs, its *_up write_pfm calls are commented out,
+    eval_pointcloud.py:386-387) must opt out here rather than just dropping keys.
     """
     B, N = images.shape[:2]
     assert N == cfg.view_num and N > 2, (N, cfg.view_num)
@@ -138,31 +146,57 @@ def multi_view_forward(
     # ---- stage 4: AAM2 + upsampled soft-argmin (reference example.py:176-181) ----
     cost_agg2 = aam_aggregate_stacked(params, refined_costs, stage=2)
     prob_agg2 = aam_output_conv(params, cost_agg2, stage=2)
-    if out_prob_map:
-        depth_refined, depth_refined_up, conf, conf_up = prob2depth_upsample(
-            prob_agg2, D, depth_start, depth_interval, out_prob_map=True,
-            impl=cfg.softargmin_impl,
-        )
+    depth_refined_up = conf = conf_up = None
+    if upsample:
+        if out_prob_map:
+            depth_refined, depth_refined_up, conf, conf_up = prob2depth_upsample(
+                prob_agg2, D, depth_start, depth_interval, out_prob_map=True,
+                impl=cfg.softargmin_impl,
+            )
+        else:
+            depth_refined, depth_refined_up = prob2depth_upsample(
+                prob_agg2, D, depth_start, depth_interval, impl=cfg.softargmin_impl
+            )
     else:
-        depth_refined, depth_refined_up = prob2depth_upsample(
-            prob_agg2, D, depth_start, depth_interval, impl=cfg.softargmin_impl
-        )
-        conf = conf_up = None
+        if out_prob_map:
+            depth_refined, conf = prob2depth(
+                prob_agg2, D, depth_start, depth_interval, True, impl=cfg.softargmin_impl
+            )
+        else:
+            depth_refined = prob2depth(
+                prob_agg2, D, depth_start, depth_interval, impl=cfg.softargmin_impl
+            )
 
     out = {
         "depth": depth_refined,              # (B, h, w, 1) — sweep-space (inverse depth)
-        "depth_up": depth_refined_up,        # (B, 4h, 4w, 1)
         "depth_agg_initial": depth_agg,
         "prob_volume_agg": prob_agg,
         "prob_volumes": prob_volumes,        # (P, B, D, h, w) per-pair stage-1 volumes
         "refined_prob_volumes": refined_probs,
         "depth_views": depth_views,
     }
+    if upsample:
+        out["depth_up"] = depth_refined_up   # (B, 4h, 4w, 1)
     if out_prob_map:
         out["confidence"] = conf
-        out["confidence_up"] = conf_up
         out["confidence_agg_initial"] = conf_agg
+        if upsample:
+            out["confidence_up"] = conf_up
     return out
+
+
+def center_images(images: jnp.ndarray) -> jnp.ndarray:
+    """Per-image, per-channel variance normalization on device.
+
+    Same statistics as data.preprocess.center_image (reference preprocess.py:20-25:
+    population std, eps 1e-8), for drivers that ship raw uint8 frames and normalize
+    in-jit — ~4x fewer H2D bytes and no fp32 host pass, which is what one-vCPU eval
+    hosts are starved of. images: (..., H, W, C), any dtype.
+    """
+    x = images.astype(jnp.float32)
+    mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+    var = jnp.maximum(jnp.mean(x * x, axis=(-3, -2), keepdims=True) - mean * mean, 0.0)
+    return (x - mean) / (jnp.sqrt(var) + 1e-8)
 
 
 def sweep_to_depth(depth_sweep: jnp.ndarray, inverse_depth: bool = True, eps: float = 1e-10) -> jnp.ndarray:

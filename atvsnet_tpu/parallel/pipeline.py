@@ -34,6 +34,7 @@ def multi_view_forward_spmd(
     cfg: PipelineConfig,
     mesh: Mesh | None = None,
     out_prob_map: bool = False,
+    upsample: bool = True,
 ):
     """Same math as models.atvsnet.multi_view_forward, pair axis vmapped + sharded.
 
@@ -130,6 +131,17 @@ def multi_view_forward_spmd(
         "depth_views": depth_views,
         "refined_prob_volumes": refined_probs,
     }
+    if not upsample:
+        # native-resolution-only stage 4 (see models.atvsnet.multi_view_forward)
+        if out_prob_map:
+            depth, conf = prob2depth(
+                prob_agg2, D, depth_start, depth_interval, True, impl=cfg.softargmin_impl
+            )
+            out["confidence"] = constrain_batch(conf)
+        else:
+            depth = prob2depth(prob_agg2, D, depth_start, depth_interval, impl=cfg.softargmin_impl)
+        out["depth"] = constrain_batch(depth)
+        return out
     if out_prob_map:
         depth, depth_up, conf, conf_up = prob2depth_upsample(
             prob_agg2, D, depth_start, depth_interval, out_prob_map=True,
