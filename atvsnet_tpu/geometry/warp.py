@@ -69,10 +69,18 @@ def interpolate(
     method: str = "bilinear",
     output_mask: bool = False,
     packed: bool = True,
+    out_spatial: Tuple[int, ...] | None = None,
 ):
     """Sample `image` (B, H, W, C) at texture coords x, y (B, P) -> (B, P, C).
 
     Coordinates use the half-pixel-center convention (0.5 = center of pixel 0).
+
+    out_spatial: when the caller will reshape the (B, P, C) result to
+    (B, *out_spatial, C), passing the shape here reshapes the RAW GATHER output
+    instead, so the corner-weighted sum runs (and picks its layout) on the final
+    5D shape. Profiling showed XLA otherwise materializes two full-volume layout
+    copies between the gather's channel-minor layout and the conv consumers'
+    width-minor layout (~12ms each per plane sweep at eval scale).
     """
     B, H, W, C = image.shape
     x = x.astype(jnp.float32) - 0.5
@@ -119,6 +127,11 @@ def interpolate(
         # x0 <= W-2, y0 <= H-2, exactly where the packed table is exact)
         table = _pack_corners(image).reshape(B, H * W, 4 * C)
         g = _gather_pixels(table, y0, x0, W)
+        if out_spatial is not None:
+            full = (B,) + tuple(out_spatial)
+            g = g.reshape(full + (4 * C,))
+            wa, wb, wc, wd = (w.reshape(full + (1,)) for w in (wa, wb, wc, wd))
+            valid = valid.reshape(full)
         out = (
             wa * g[..., :C] + wb * g[..., C : 2 * C]
             + wc * g[..., 2 * C : 3 * C] + wd * g[..., 3 * C :]
@@ -182,10 +195,13 @@ def plane_sweep_warp(
     x, y = _homography_coords(homographies, H, W)         # (B, D, HW)
     x = x.reshape(B, D * H * W)
     y = y.reshape(B, D * H * W)
+    spatial = (D, H, W) if method == "bilinear" else None
     if output_mask:
-        out, mask = interpolate(image, x, y, method=method, output_mask=True)
+        out, mask = interpolate(
+            image, x, y, method=method, output_mask=True, out_spatial=spatial
+        )
         return out.reshape(B, D, H, W, C), mask.reshape(B, D, H, W, 1)
-    out = interpolate(image, x, y, method=method)
+    out = interpolate(image, x, y, method=method, out_spatial=spatial)
     return out.reshape(B, D, H, W, C)
 
 
@@ -224,33 +240,36 @@ def plane_sweep_warp_with_nearest(
 
     table = _pack_corners(image).reshape(B, H * W, 4 * C)
     g = _gather_pixels(table, y0, x0, W)
+    # corner-weight on the final 5D shape so the layout change from the gather's
+    # channel-minor result to the conv consumers' layout fuses into this write
+    # instead of materializing as standalone full-volume copies (see interpolate)
+    shape = (B, D, H, W)
+    g = g.reshape(shape + (4 * C,))
     ga, gb, gc, gd = g[..., :C], g[..., C : 2 * C], g[..., 2 * C : 3 * C], g[..., 3 * C :]
 
     x0f = x0.astype(jnp.float32)
     x1f = x1.astype(jnp.float32)
     y0f = y0.astype(jnp.float32)
     y1f = y1.astype(jnp.float32)
-    wa = ((y1f - y) * (x1f - x))[..., None].astype(image.dtype)
-    wb = ((y1f - y) * (x - x0f))[..., None].astype(image.dtype)
-    wc = ((y - y0f) * (x1f - x))[..., None].astype(image.dtype)
-    wd = ((y - y0f) * (x - x0f))[..., None].astype(image.dtype)
+
+    def _w(v):
+        return v.reshape(shape + (1,)).astype(image.dtype)
+
+    wa = _w((y1f - y) * (x1f - x))
+    wb = _w((y1f - y) * (x - x0f))
+    wc = _w((y - y0f) * (x1f - x))
+    wd = _w((y - y0f) * (x - x0f))
     bilinear = wa * ga + wb * gb + wc * gc + wd * gd
 
     # nearest = the rounded corner; jnp.round is half-to-even like tf.round. For
     # invalid samples x=y=0 -> corner a = pixel (0,0), matching the reference.
-    right = (jnp.round(x).astype(jnp.int32) > x0)[..., None]
-    down = (jnp.round(y).astype(jnp.int32) > y0)[..., None]
+    right = (jnp.round(x).astype(jnp.int32) > x0).reshape(shape + (1,))
+    down = (jnp.round(y).astype(jnp.int32) > y0).reshape(shape + (1,))
     if nearest_slice is not None:
         ga, gb, gc, gd = (t[..., nearest_slice] for t in (ga, gb, gc, gd))
-    Cn = ga.shape[-1]
     nearest = jnp.where(down, jnp.where(right, gd, gc), jnp.where(right, gb, ga))
 
-    shape = (B, D, H, W)
-    return (
-        bilinear.reshape(shape + (C,)),
-        nearest.reshape(shape + (Cn,)),
-        valid.reshape(shape + (1,)),
-    )
+    return bilinear, nearest, valid.reshape(shape + (1,))
 
 
 def _relative_projection(left_cam: jnp.ndarray, right_cam: jnp.ndarray):
