@@ -110,10 +110,11 @@ def main() -> None:
     )
     ap.add_argument("--pair-batch", action="store_true")
     ap.add_argument("--view-num", type=int, default=VIEW_NUM)
-    ap.add_argument("--batch", type=int, default=2,
-                    help="distinct ref images per forward (cross-image data batching; "
-                         "B=2 is the measured sweet spot on v5e: 2.374/2.470/2.030 "
-                         "maps/s at B=1/2/4 bf16 — B=2 default)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="distinct ref images per forward (cross-image data batching). "
+                         "B=1 is the measured sweet spot on v5e SINCE the warp "
+                         "corner-lerp fusion: 2.81/2.51 maps/s at B=1/2 bf16 "
+                         "(before it, B=2 won: 2.374/2.470/2.030 at B=1/2/4)")
     ap.add_argument("--fp32-precision", default=None, choices=["highest", "high", "default"],
                     help="fp32 conv MXU pass count (nn/layers._precision_for); "
                          "only meaningful with --dtype float32")
