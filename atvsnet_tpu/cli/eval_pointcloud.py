@@ -2,7 +2,7 @@
 
     python -m atvsnet_tpu.cli.eval_pointcloud --data_root ../data --savepath ./eval_out \
         [--scenes lakeside sand_box ...] [--params model.npz] [--view_num 8] \
-        [--batch 2] [--mesh data=2,view=4] [--gt_range]
+        [--batch 1] [--mesh data=2,view=4] [--gt_range]
 
 Per scene: parse pair.txt, per reference image run the N-view pipeline (ONE jitted call;
 the reference stages 2N+1 sess.runs through the host per image), write %08d.pfm depth,
@@ -23,7 +23,9 @@ else must hide behind it):
     (eval_pointcloud.py:212-397).
 
 --batch B stacks B distinct ref images into one (B, N, H, W, 3) forward (pure data
-batching; the reference loops B=1 always). --mesh data=N[,view=M] runs the SPMD
+batching; the reference loops B=1 always). B=1 is the measured optimum since the
+round-3 warp corner-lerp fusion (0.39s/image warm vs 0.50s at B=2 on the synthetic
+full-res scene; see README). --mesh data=N[,view=M] runs the SPMD
 pipeline over a device mesh, sharding the batch over 'data' and the view pairs over
 'view' (SURVEY.md §2.3; the reference's num_gpus scaffolding never did this).
 """
