@@ -187,6 +187,8 @@ def run_eval_pc(
                 NamedSharding(dev_mesh, P("data")),
             ),
         )
+        # loader threads put batches directly into the mesh's 'data' sharding
+        in_sharding = NamedSharding(dev_mesh, P("data"))
     else:
         # upsample only when the reference-style full-resolution viz PNG is
         # requested: the driver writes native-resolution PFMs either way (so does
@@ -200,17 +202,20 @@ def run_eval_pc(
             )
 
         fwd = jax.jit(_fwd)
-
-    if mesh:
-        # loader threads put batches directly into the mesh's 'data' sharding
-        from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
-
-        in_sharding = _NS(dev_mesh, _P("data"))
-    else:
         in_sharding = jax.devices()[0]
 
     os.makedirs(savepath, exist_ok=True)
-    load_pool = ThreadPoolExecutor(max_workers=max(1, load_workers))
+    # bound in-flight decoded chunks (each is ~50MB at 8-view eval scale)
+    window = max(2, (load_workers + batch - 1) // batch + 1)
+    if batch > 1:
+        # chunk workers only gather + concatenate; per-sample decode fans out to
+        # its own pool so all load_workers decode even when a chunk holds many
+        # samples (one worker decoding a whole chunk serially stalls scene starts)
+        sample_pool = ThreadPoolExecutor(max_workers=max(1, load_workers))
+        load_pool = ThreadPoolExecutor(max_workers=window)
+    else:
+        sample_pool = None
+        load_pool = ThreadPoolExecutor(max_workers=max(1, load_workers))
     write_pool = ThreadPoolExecutor(max_workers=max(1, write_workers))
 
     def _load(paths):
@@ -225,7 +230,10 @@ def run_eval_pc(
         hosts every numpy byte the main loop touches serializes with the decode
         workers; shipping ready batches keeps the loop's only blocking work the
         drain (which releases the GIL)."""
-        samples = [_load(p) for p in paths_chunk]
+        if sample_pool is not None:
+            samples = list(sample_pool.map(_load, paths_chunk))
+        else:
+            samples = [_load(p) for p in paths_chunk]
         n_real = len(samples)
         while len(samples) < batch:  # tail: pad with the last sample
             samples.append(samples[-1])
@@ -258,8 +266,6 @@ def run_eval_pc(
 
     from collections import deque
 
-    # bound in-flight decoded chunks (each is ~50MB at 8-view eval scale)
-    window = max(2, (load_workers + batch - 1) // batch + 1)
     queue = deque()
     next_i = 0
 
@@ -365,6 +371,8 @@ def run_eval_pc(
         )
     finally:
         load_pool.shutdown(wait=False)
+        if sample_pool is not None:
+            sample_pool.shutdown(wait=False)
         write_pool.shutdown(wait=True)
 
 

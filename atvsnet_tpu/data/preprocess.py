@@ -163,7 +163,17 @@ def read_gt_depth(path: str) -> np.ndarray:
 
         d = np.asarray(imageio.imread(path), np.float32)
     except Exception:
-        d = cv2.imread(path, cv2.IMREAD_UNCHANGED).astype(np.float32)
+        # OpenCV ships with EXR support disabled unless OPENCV_IO_ENABLE_OPENEXR=1
+        # and returns None instead of raising — surface a clear error rather than
+        # an AttributeError inside a loader thread
+        raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if raw is None:
+            raise IOError(
+                f"could not decode GT depth map {path!r}: imageio failed and "
+                "cv2.imread returned None (for .exr, set OPENCV_IO_ENABLE_OPENEXR=1 "
+                "or install an imageio EXR plugin)"
+            )
+        d = raw.astype(np.float32)
     if d.ndim == 3:
         d = d[:, :, 0]
     return d

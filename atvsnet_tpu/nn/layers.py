@@ -50,7 +50,14 @@ def _precision_for(x: jnp.ndarray):
     if x.dtype == jnp.float32:
         import os
 
-        return _FP32_PRECISION[os.environ.get("ATVSNET_FP32_PRECISION", "highest").lower()]
+        name = os.environ.get("ATVSNET_FP32_PRECISION", "highest").lower()
+        try:
+            return _FP32_PRECISION[name]
+        except KeyError:
+            raise ValueError(
+                f"ATVSNET_FP32_PRECISION={name!r} is not one of "
+                f"{sorted(_FP32_PRECISION)}"
+            ) from None
     return lax.Precision.DEFAULT
 
 

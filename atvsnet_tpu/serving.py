@@ -16,7 +16,11 @@ file paths, get metric depth + confidence back, already un-padded.
 
 Multi-chip: pass mesh="data=2,view=4" (or a prebuilt jax Mesh) and every bucket's
 program runs the SPMD pipeline over it — view pairs shard over 'view', the batch over
-'data' (SURVEY.md §2.3; parallel/pipeline.py).
+'data' (SURVEY.md §2.3; parallel/pipeline.py). predict() serves one sample per call,
+so with data=N the request is replicated N ways to satisfy the batch sharding and
+sample 0 is returned — size 'data' for multi-request batching layers above this API,
+size 'view' for single-request latency. Two-view buckets have no pair axis; they
+shard the (replicated) batch over 'data' only.
 
 The parameter tree is fully convolutional (no shape-dependent weights), so ALL buckets
 share the same device-resident params.
@@ -33,8 +37,12 @@ from atvsnet_tpu.config import PipelineConfig
 from atvsnet_tpu.data.preprocess import prepare_mvs_sample
 
 
-def _bucket_key(cfg: PipelineConfig) -> tuple:
-    return (cfg.view_num, cfg.max_h, cfg.max_w, cfg.max_d, cfg.compute_dtype)
+def _bucket_key(cfg: PipelineConfig) -> PipelineConfig:
+    # the frozen config itself: EVERY field participates in the jit cache key
+    # (config.py docstring), so two configs differing in any field are distinct
+    # buckets — keying on a shape subset silently dropped e.g. inverse_depth
+    # overrides and served them from the wrong compiled program
+    return cfg
 
 
 class DepthEstimator:
@@ -124,6 +132,34 @@ class DepthEstimator:
                 keep["confidence_up"] = out["confidence_up"]
             return keep
 
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = self.mesh
+            shardings = (
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P("data")),
+                NamedSharding(mesh, P("data")),
+            )
+            if c.view_num == 2:
+                # no pair axis to shard — the two-view program still shards the
+                # batch over 'data' so a meshed estimator never silently runs
+                # unsharded (predict() tiles the sample to the data extent)
+
+                def fwd2(p, images, cams):
+                    return _prune(two_view_forward(p, images, cams, c))
+
+                return jax.jit(fwd2, in_shardings=shardings)
+
+            from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd
+
+            def fwd(p, images, cams):
+                return _prune(
+                    multi_view_forward_spmd(p, images, cams, c, mesh=mesh, out_prob_map=with_conf)
+                )
+
+            return jax.jit(fwd, in_shardings=shardings)
+
         if c.view_num == 2:
 
             def fwd(p, images, cams):
@@ -131,31 +167,15 @@ class DepthEstimator:
 
             return jax.jit(fwd)
 
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd
-
-            mesh = self.mesh
-
-            def fwd(p, images, cams):
-                return _prune(
-                    multi_view_forward_spmd(p, images, cams, c, mesh=mesh, out_prob_map=with_conf)
-                )
-
-            return jax.jit(
-                fwd,
-                in_shardings=(
-                    NamedSharding(mesh, P()),
-                    NamedSharding(mesh, P("data")),
-                    NamedSharding(mesh, P("data")),
-                ),
-            )
-
         def fwd(p, images, cams):
             return _prune(multi_view_forward(p, images, cams, c, out_prob_map=with_conf))
 
         return jax.jit(fwd)
+
+    def _data_extent(self) -> int:
+        """Size of the mesh's 'data' axis (1 without a mesh): single-sample requests
+        are tiled to this extent so the sharded program's batch axis is divisible."""
+        return self.mesh.shape["data"] if self.mesh is not None else 1
 
     def _route(self, h: int, w: int) -> tuple[PipelineConfig, object]:
         """Smallest registered bucket that fits (pad up); else the largest bucket
@@ -187,6 +207,10 @@ class DepthEstimator:
             )
             cam[1, 3] = (0.4, 0.6 / c.max_d, c.max_d, 1.0)
             cams = np.broadcast_to(cam, (1, c.view_num, 2, 4, 4)).copy()
+            nd = self._data_extent()
+            if nd > 1:
+                images = np.concatenate([images] * nd, axis=0)
+                cams = np.concatenate([cams] * nd, axis=0)
             out = f(self.params, self._jnp.asarray(images), self._jnp.asarray(cams))
             np.asarray(out["depth"])
             if not all_buckets:
@@ -224,7 +248,6 @@ class DepthEstimator:
                     f"{[(b.max_h, b.max_w) for b in self.buckets]}; add_bucket"
                     f"(max_h={h}, max_w={w}) first, or use preprocessed=False"
                 )
-            c, fwd = self._route(h, w)
             images = list(images)[: c.view_num]
             cams = [np.copy(cm) for cm in cams[: c.view_num]]
             for v, im in enumerate(images):
@@ -250,6 +273,12 @@ class DepthEstimator:
                 inverse_depth=c.inverse_depth,
             )
         jnp = self._jnp
+        nd = self._data_extent()
+        if nd > 1:
+            # the sharded program needs a batch divisible by the 'data' axis;
+            # replicate the single request and read back sample 0
+            batch["images"] = np.concatenate([batch["images"]] * nd, axis=0)
+            batch["cams"] = np.concatenate([batch["cams"]] * nd, axis=0)
         t0 = time.perf_counter()
         out = fwd(self.params, jnp.asarray(batch["images"]), jnp.asarray(batch["cams"]))
         depth = np.asarray(out["depth"], np.float32)  # already metric (fwd converts)

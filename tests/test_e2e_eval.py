@@ -179,6 +179,20 @@ def test_mesh_driver_matches_single(scene_dir, tmp_path):
         np.testing.assert_allclose(got[v][1], ref[v][1], rtol=2e-4, atol=1e-4)
 
 
+def test_read_gt_depth_undecodable_raises(tmp_path):
+    """An undecodable GT map raises a descriptive IOError instead of the
+    AttributeError from cv2.imread's None return (review finding)."""
+    import pytest
+
+    from atvsnet_tpu.data.preprocess import read_gt_depth
+
+    bad = str(tmp_path / "garbage.exr")
+    with open(bad, "wb") as f:
+        f.write(b"not an exr at all")
+    with pytest.raises((IOError, ValueError), match="garbage.exr|could not"):
+        read_gt_depth(bad)
+
+
 def test_gt_range_override(scene_dir, tmp_path):
     """--gt_range: a GT depth map next to the ref image overrides the sweep range
     (reference eval_pointcloud.py:171-193); depths land inside the GT range."""

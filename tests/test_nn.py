@@ -264,3 +264,16 @@ class TestConvInputStacked:
         c = L.conv(x, k)  # routed (h*w >= 24000, Ci <= 16)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
         np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=1e-4)
+
+
+def test_fp32_precision_env_validation(monkeypatch):
+    """A typo'd ATVSNET_FP32_PRECISION raises a ValueError naming the knob and the
+    valid choices, not a bare KeyError from inside conv tracing (review finding)."""
+    import pytest
+
+    monkeypatch.setenv("ATVSNET_FP32_PRECISION", "hi")
+    x = jnp.ones((1, 4, 4, 2), jnp.float32)
+    with pytest.raises(ValueError, match="ATVSNET_FP32_PRECISION"):
+        L._precision_for(x)
+    monkeypatch.setenv("ATVSNET_FP32_PRECISION", "high")
+    assert L._precision_for(x) is not None

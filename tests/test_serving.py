@@ -139,6 +139,53 @@ def test_mesh_estimator_matches_single_device():
     np.testing.assert_allclose(b["confidence"], a["confidence"], rtol=2e-4, atol=1e-4)
 
 
+def test_mesh_data_axis_predict():
+    """mesh with data>1: the single-sample predict() is replicated over 'data' and
+    still matches the single-device pipeline (review finding: this used to raise
+    an unshardable-batch error, making the advertised data axis unusable)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    single = DepthEstimator(cfg, seed=0)
+    meshed = DepthEstimator(cfg, seed=0, mesh="data=2,view=2")
+    assert meshed.warmup() > 0
+    images, cams = _scene_arrays(3, 32, 32, cfg.max_d)
+    a = single.predict(images, cams)
+    b = meshed.predict(images, cams)
+    assert b["depth"].shape == a["depth"].shape  # sample 0 only, not the replicas
+    np.testing.assert_allclose(b["depth"], a["depth"], rtol=2e-4, atol=1e-4)
+
+
+def test_two_view_mesh_estimator():
+    """A meshed estimator's two-view bucket shards the batch over 'data' instead of
+    silently ignoring the mesh (review finding)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = PipelineConfig(view_num=2, max_d=8, max_h=32, max_w=32)
+    single = DepthEstimator(cfg, seed=0)
+    meshed = DepthEstimator(cfg, seed=0, mesh="data=2,view=1")
+    images, cams = _scene_arrays(2, 32, 32, 8)
+    a = single.predict(images, cams)
+    b = meshed.predict(images, cams)
+    np.testing.assert_allclose(b["depth"], a["depth"], rtol=2e-4, atol=1e-4)
+
+
+def test_bucket_key_covers_all_config_fields():
+    """add_bucket() with a non-shape override registers a DISTINCT bucket instead of
+    silently returning the old program (review finding: the key used to cover only
+    the shape fields, so e.g. inverse_depth=False was served by the
+    inverse_depth=True program)."""
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    est = DepthEstimator(cfg)
+    c2 = est.add_bucket(inverse_depth=False)
+    assert c2.inverse_depth is False
+    assert len(est.buckets) == 2
+
+
 def test_preprocessed_view_padding():
     """preprocessed=True also pads missing views (review finding)."""
     cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
