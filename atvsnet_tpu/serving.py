@@ -18,9 +18,10 @@ Multi-chip: pass mesh="data=2,view=4" (or a prebuilt jax Mesh) and every bucket'
 program runs the SPMD pipeline over it — view pairs shard over 'view', the batch over
 'data' (SURVEY.md §2.3; parallel/pipeline.py). predict() serves one sample per call,
 so with data=N the request is replicated N ways to satisfy the batch sharding and
-sample 0 is returned — size 'data' for multi-request batching layers above this API,
-size 'view' for single-request latency. Two-view buckets have no pair axis; they
-shard the (replicated) batch over 'data' only.
+sample 0 is returned; predict_many() batches several requests through one forward
+and is where data>1 does real work (BN statistics are per-sample, so batched
+outputs are exactly the single-request outputs). Two-view buckets have no pair
+axis; they shard the batch over 'data' only.
 
 The parameter tree is fully convolutional (no shape-dependent weights), so ALL buckets
 share the same device-resident params.
@@ -298,6 +299,70 @@ class DepthEstimator:
             ]
             res["confidence_up"] = np.asarray(out["confidence_up"], np.float32)[0, :vh, :vw, 0]
         return res
+
+    def predict_many(
+        self,
+        requests: Sequence[tuple[Sequence[np.ndarray], Sequence[np.ndarray]]],
+    ) -> list[dict]:
+        """Serve several (images, cams) requests through ONE batched forward.
+
+        All requests route to a single bucket (the smallest fitting the largest
+        request); the batch pads up to a multiple of the mesh's 'data' extent
+        (padding replicates the last request). This is where the 'data' axis does
+        real work — predict() can only replicate a single sample over it. Each
+        request may have its own resolution/view count (per-sample prep pads
+        exactly like predict). Returns one predict()-shaped dict per request;
+        runtime_s on each is the whole batch's device time.
+
+        jax.jit specializes per batch size, so the first call at a new request
+        count compiles a program for that batch (subsequent calls at any
+        previously-seen count reuse theirs; keep request counts bucketed upstream
+        for a bounded program set).
+        """
+        if not requests:
+            return []
+        h = max(imgs[0].shape[0] for imgs, _ in requests)
+        w = max(imgs[0].shape[1] for imgs, _ in requests)
+        c, fwd = self._route(h, w)
+        prepared = [
+            prepare_mvs_sample(
+                list(imgs), list(cms), c.view_num, max_d=c.max_d,
+                max_h=c.max_h, max_w=c.max_w, sample_scale=c.sample_scale,
+                inverse_depth=c.inverse_depth,
+            )
+            for imgs, cms in requests
+        ]
+        n_real = len(prepared)
+        nd = self._data_extent()
+        while len(prepared) % nd:
+            prepared.append(prepared[-1])
+        images = np.concatenate([b["images"] for b in prepared], axis=0)
+        cams = np.concatenate([b["cams"] for b in prepared], axis=0)
+
+        jnp = self._jnp
+        t0 = time.perf_counter()
+        out = fwd(self.params, jnp.asarray(images), jnp.asarray(cams))
+        depth = np.asarray(out["depth"], np.float32)
+        runtime = time.perf_counter() - t0
+
+        depth_up = np.asarray(out["depth_up"], np.float32)
+        conf = np.asarray(out["confidence"], np.float32) if "confidence" in out else None
+        conf_up = np.asarray(out["confidence_up"], np.float32) if conf is not None else None
+        s = c.sample_scale
+        results = []
+        for b in range(n_real):
+            vh, vw = prepared[b]["valid_hw"]
+            res = {
+                "depth": depth[b, : int(vh * s), : int(vw * s), 0],
+                "depth_up": depth_up[b, :vh, :vw, 0],
+                "runtime_s": runtime,
+                "bucket": (c.max_h, c.max_w),
+            }
+            if conf is not None:
+                res["confidence"] = conf[b, : int(vh * s), : int(vw * s), 0]
+                res["confidence_up"] = conf_up[b, :vh, :vw, 0]
+            results.append(res)
+        return results
 
     def predict_paths(self, paths: Sequence[str]) -> dict:
         """Alternating [img, cam.txt, img, cam.txt, ...] file paths -> predict()."""

@@ -186,6 +186,39 @@ def test_bucket_key_covers_all_config_fields():
     assert len(est.buckets) == 2
 
 
+def test_predict_many_matches_predict():
+    """predict_many batches distinct requests through one forward and each result
+    equals its single-request predict() (BN is per-sample, so batching is exact)."""
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    est = DepthEstimator(cfg)
+    reqs = [_scene_arrays(3, 32, 32, cfg.max_d, seed=s) for s in (1, 2, 3)]
+    many = est.predict_many(reqs)
+    assert len(many) == 3
+    for (images, cams), got in zip(reqs, many):
+        one = est.predict(images, cams)
+        np.testing.assert_allclose(got["depth"], one["depth"], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(got["confidence"], one["confidence"], rtol=1e-5, atol=1e-5)
+    assert est.predict_many([]) == []
+
+
+def test_predict_many_mesh_pads_to_data_extent():
+    """With data=2, an odd request count pads the batch and returns only the real
+    results, each matching the single-device pipeline."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
+    single = DepthEstimator(cfg, seed=0)
+    meshed = DepthEstimator(cfg, seed=0, mesh="data=2,view=2")
+    reqs = [_scene_arrays(3, 32, 32, cfg.max_d, seed=s) for s in (4, 5, 6)]
+    many = meshed.predict_many(reqs)
+    assert len(many) == 3
+    for (images, cams), got in zip(reqs, many):
+        one = single.predict(images, cams)
+        np.testing.assert_allclose(got["depth"], one["depth"], rtol=2e-4, atol=1e-4)
+
+
 def test_preprocessed_view_padding():
     """preprocessed=True also pads missing views (review finding)."""
     cfg = PipelineConfig(view_num=3, max_d=8, max_h=32, max_w=32)
