@@ -161,7 +161,11 @@ def _fuse_one_ref(
         baseline = jnp.linalg.norm(C_r - centers[i])
         disp = f_r * baseline / z
         disp_i = f_r * baseline / z_i
-        # relative disparity check (fusibile.cu:211); depth 0 -> disp inf -> nan -> False
+        # relative disparity check — SIGNED division exactly like fusibile.cu:211:
+        # a point projecting BEHIND view i (z < 0) gives disp < 0, so rel <= 0 <
+        # thresh and the view auto-passes; that reference quirk is reproduced. The
+        # zero-depth reference-pixel case is closed by the emit gate below instead
+        # (in the reference disp_r = inf makes every view's check nan -> False).
         rel = jnp.abs(disp - disp_i) / disp
         ok = in_bounds & (rel < disp_thresh)
 
@@ -185,7 +189,11 @@ def _fuse_one_ref(
     ref_rgb = jnp.take(images, ref_idx, axis=0)
     avg_rgb = (ref_rgb + jnp.sum(rgb_all, axis=0)) / (count[..., None] + 1.0)
 
-    emit = count >= num_consistent                          # (H, W)
+    # zero-depth (prob-filtered) reference pixels back-project to the camera
+    # center; without this gate a view the center projects into with NEGATIVE z
+    # would auto-pass the signed disparity check above and mass-emit junk points
+    # at C_r. The reference never emits them (disp_r = inf -> nan checks).
+    emit = (count >= num_consistent) & (depth_r > 0)        # (H, W)
     if normals is None:
         return emit, X, avg_rgb, None
     # consistent_normal accumulation (fusibile.cu:228,243): ref normal + passing
@@ -201,7 +209,6 @@ def fuse_depth_maps(
     cams: np.ndarray,
     disp_thresh: float = 0.01,
     num_consistent: int = 2,
-    batch_refs: int = 1,
     normals: np.ndarray | None = None,
     normal_thresh_deg: float = 360.0,
     depth_min: float | None = None,

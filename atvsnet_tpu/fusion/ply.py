@@ -39,7 +39,10 @@ def read_ply(path: str):
     with open(path, "rb") as f:
         n = None
         while True:
-            line = f.readline().decode("ascii").strip()
+            raw = f.readline()
+            if not raw:  # EOF before end_header: truncated / not a PLY
+                raise ValueError(f"no end_header in PLY file: {path!r}")
+            line = raw.decode("ascii").strip()
             if line.startswith("element vertex"):
                 n = int(line.split()[-1])
             if line == "end_header":

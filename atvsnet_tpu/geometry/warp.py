@@ -219,6 +219,15 @@ def plane_sweep_warp_with_nearest(
     nearest_slice: restrict the nearest output to these source channels (the
     refinement only needs the depth channel — avoids materializing a full-width
     nearest volume).
+
+    KEEP IN SYNC with interpolate(): the validity window, invalid-sample corner
+    zeroing, clip bounds and corner-weight formulas below deliberately restate
+    interpolate's packed bilinear body — the two bodies differ only in where the
+    5D reshape lands (here the weights apply on the final volume layout so the
+    gather->conv layout change fuses into this write; a shared helper would pin
+    one layout and reintroduce the standalone full-volume copies this fusion
+    removed, tools/hlo_copy_audit.py). Any sampling-semantics fix must be applied
+    in BOTH places; tests/test_structured.py pins them against each other.
     """
     B, H, W, C = image.shape
     D = homographies.shape[1]

@@ -60,7 +60,13 @@ def get_lib():
 
 def compact_points(mask: np.ndarray, points: np.ndarray, colors: np.ndarray):
     """mask (n,) bool/uint8, points (n,3) f32, colors (n,3) float 0..255
-    -> (m,3) f32 points, (m,3) u8 colors."""
+    -> (m,3) f32 points, (m,3) u8 colors.
+
+    Deliberate deviation from the reference host loop (fusibile.cu:308): that loop
+    silently drops any point with a zero X, Y or Z world coordinate (an artifact of
+    zero-initialized buffers doubling as a validity flag); here validity is the
+    explicit mask, so points that legitimately lie on a coordinate plane are kept —
+    exact point-COUNT parity with the CUDA binary is not expected on such scenes."""
     mask = np.ascontiguousarray(mask.reshape(-1).astype(np.uint8))
     points = np.ascontiguousarray(points.reshape(-1, 3).astype(np.float32))
     colors = np.ascontiguousarray(colors.reshape(-1, 3).astype(np.float32))

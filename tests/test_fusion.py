@@ -73,6 +73,26 @@ class TestFusion:
         assert points.shape[0] > 0
         assert np.abs(points[:, 2] - 4.0).max() < 1e-2
 
+    def test_zero_depth_never_emits_behind_camera(self):
+        """Zero-depth ref pixels back-project to the camera CENTER; a view the
+        center projects into with negative z auto-passes the signed disparity
+        check (reference fusibile.cu:211 quirk, reproduced) — the emit gate must
+        still drop them (review finding). Adversarial layout: view 1 BEHIND and
+        facing view 0, so C_0 projects into view 1 with z < 0."""
+        K = np.array([[40.0, 0, 16.0], [0, 40.0, 12.0], [0, 0, 1.0]])
+        H, W = 24, 32
+        rng = np.random.RandomState(0)
+        cams = np.stack([
+            make_cam(K, np.eye(3), np.zeros(3)),
+            # 180-deg turn, placed at world z=-2 looking back toward the origin
+            make_cam(K, rotation([0, 1, 0], np.pi), np.array([0.0, 0.0, -2.0])),
+            make_cam(K, np.eye(3), np.array([0.1, 0.0, 0.0])),
+        ])
+        depths = np.zeros((3, H, W), np.float32)  # everything prob-filtered
+        images = rng.randint(0, 255, (3, H, W, 3)).astype(np.uint8)
+        points, _ = fuse_depth_maps(depths, images, cams, 0.01, 1)
+        assert points.shape[0] == 0
+
     def test_num_consistent_threshold(self):
         depths, images, cams = plane_scene(V=3)
         few, _ = fuse_depth_maps(depths, images, cams, 0.01, 2)
