@@ -158,7 +158,19 @@ class MvsSynDataset:
                 ref.is_valid = False
                 continue
             ids = from_file if from_file is not None else self._angle_neighbors(ref)
-            ids = ids[:max_range]
+            if len(ids) > max_range:
+                # window of max_range candidates AROUND the ref's position in the
+                # (ascending-id) candidate list, clamped at the ends — the
+                # reference's selection (mvs_syn_helpers.py:262-274); a plain
+                # [:max_range] would take the sequence's first frames for late refs
+                pos = int(np.argmin(np.abs(np.asarray(ids) - ref.img_id)))
+                if pos < max_range / 2:
+                    start = 0
+                elif pos > len(ids) - max_range / 2:
+                    start = len(ids) - max_range
+                else:
+                    start = max(0, pos - max_range // 2)
+                ids = ids[start : start + max_range]
             cand = [self.by_seq[(ref.seq_id, i)] for i in ids if (ref.seq_id, i) in self.by_seq]
             if len(cand) < num_neighbors:
                 ref.neighbor_permutations = None
@@ -228,13 +240,23 @@ def load_training_sample(
     from atvsnet_tpu.data.colmap import set_depth_range_from_depthmap
     from atvsnet_tpu.geometry.cameras import scale_camera_np
 
-    imgs = [cv2.imread(dataset.images[i].filepath) for i in ids]
+    imgs = []
+    for i in ids:
+        im = cv2.imread(dataset.images[i].filepath)
+        if im is None:  # cv2 returns None instead of raising
+            raise FileNotFoundError(dataset.images[i].filepath)
+        imgs.append(im)
     imgs = augment_image_group(imgs, rng=augment_rng)
     cams = np.stack([dataset.images[i].to_mvsnet_cam(max_d) for i in ids])
 
     ref = dataset.images[ids[0]]
     depth = _read_exr_depth(ref.depthpath)
 
+    if not (depth > 0).any():
+        # e.g. a sky-only frame whose EXR is entirely inf/0: the angle-fallback
+        # neighbor path has no valid_depth_ratio screen, and an empty range
+        # source would crash set_depth_range_from_depthmap mid-epoch
+        raise ValueError(f"no valid GT depth pixels in {ref.depthpath!r}")
     if inverse_depth:
         inv = np.where(depth > 0, 1.0 / np.maximum(depth, 1e-10), 0.0)
         rng_src = inv
@@ -277,7 +299,10 @@ def _read_exr_depth(path: str) -> np.ndarray:
 
         img = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_ANYCOLOR)
         if img is None:
-            raise FileNotFoundError(path)
+            raise IOError(
+                f"could not decode depth map {path!r} (imageio failed and "
+                "cv2.imread returned None)"
+            )
     img = np.asarray(img)
     if img.ndim == 3:
         img = img[..., 0]

@@ -68,8 +68,23 @@ def crop_mvs_input(
         h, w = image.shape[:2]
         new_h = max_h if h > max_h else int(math.ceil(h / base_image_size) * base_image_size)
         new_w = max_w if w > max_w else int(math.ceil(w / base_image_size) * base_image_size)
-        start_h = (h - new_h) // 2
-        start_w = (w - new_w) // 2
+        # sizes below max and not multiples of 32 round DOWN: the reference's
+        # ceil (preprocess.py:74-78) makes new_h > h, whose negative crop start
+        # silently yields a tiny corrupt slice — deliberate divergence from a
+        # broken-and-unexercised reference path (e.g. 403-px colmap training
+        # crops at small scales)
+        if new_h > h:
+            new_h = (h // base_image_size) * base_image_size
+        if new_w > w:
+            new_w = (w // base_image_size) * base_image_size
+        if new_h == 0 or new_w == 0:
+            raise ValueError(
+                f"image {h}x{w} is smaller than base_image_size={base_image_size}"
+            )
+        # ceil'd center start, exactly like reference preprocess.py:80-81 (one
+        # pixel HIGHER than floor division when the crop margin is odd)
+        start_h = int(math.ceil((h - new_h) / 2))
+        start_w = int(math.ceil((w - new_w) / 2))
         finish_h = start_h + new_h
         finish_w = start_w + new_w
         out_images.append(image[start_h:finish_h, start_w:finish_w])
@@ -153,30 +168,16 @@ def find_gt_depth_path(ref_image_path: str) -> str | None:
 
 
 def read_gt_depth(path: str) -> np.ndarray:
-    """Read a GT depth map (.exr via imageio/cv2, .pfm via the native reader)."""
+    """Read a GT depth map (.exr via the shared EXR reader, .pfm via the native
+    reader). One EXR code path for the whole repo — mvs_syn._read_exr_depth
+    enables OpenCV's EXR support itself and raises a clear error on failure."""
     if path.endswith(".pfm"):
         from atvsnet_tpu.data.pfm import load_pfm
 
         return np.asarray(load_pfm(path), np.float32)
-    try:
-        import imageio
+    from atvsnet_tpu.data.mvs_syn import _read_exr_depth
 
-        d = np.asarray(imageio.imread(path), np.float32)
-    except Exception:
-        # OpenCV ships with EXR support disabled unless OPENCV_IO_ENABLE_OPENEXR=1
-        # and returns None instead of raising — surface a clear error rather than
-        # an AttributeError inside a loader thread
-        raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-        if raw is None:
-            raise IOError(
-                f"could not decode GT depth map {path!r}: imageio failed and "
-                "cv2.imread returned None (for .exr, set OPENCV_IO_ENABLE_OPENEXR=1 "
-                "or install an imageio EXR plugin)"
-            )
-        d = raw.astype(np.float32)
-    if d.ndim == 3:
-        d = d[:, :, 0]
-    return d
+    return _read_exr_depth(path)
 
 
 def sweep_range_from_gt(

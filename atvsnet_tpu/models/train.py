@@ -62,7 +62,12 @@ def training_loss(
     mesh: Mesh | None = None,
 ):
     """batch: images (B,N,H,W,3), cams (B,N,2,4,4), depth_gt (B,h,w,1) sweep-space."""
-    out = multi_view_forward_spmd(params, batch["images"], batch["cams"], cfg, mesh)
+    # upsample=False: the loss reads only native-resolution maps, and the 4x
+    # upsampled soft-argmin chain cannot be DCE'd through its row-tiled lax.map
+    # (models/atvsnet.py:46-51) — it would cost ~3x the rest of stage 4 per step
+    out = multi_view_forward_spmd(
+        params, batch["images"], batch["cams"], cfg, mesh, upsample=False
+    )
     interval = batch["cams"][:, 0, 1, 3, 1]
     gt = batch["depth_gt"]
     loss = (

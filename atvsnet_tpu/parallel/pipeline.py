@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from atvsnet_tpu.config import PipelineConfig
 from atvsnet_tpu.geometry.depth_regression import prob2depth, prob2depth_upsample
 from atvsnet_tpu.models.tvsnet import (
-    aam_aggregate,
+    aam_aggregate_stacked,
     aam_output_conv,
     extract_features,
     tvsnet_base,
@@ -103,17 +103,25 @@ def multi_view_forward_spmd(
     del prob_volumes
 
     # ---- stage 2: AAM1 (cross-view all-reduce lives inside) ----
-    stacked = jnp.moveaxis(filtered_costs, 0, -1)       # (B, D, h, w, C, P)
-    cost_agg = constrain_volume(aam_aggregate(params, stacked, stage=1))
+    # aggregate on the view-LEADING (P, B, D, h, w, C) stack directly — the
+    # (..., C, P) layout would relayout the largest tensor in the model twice
+    # per forward (see models/atvsnet.py:89-91); the sum over axis 0 IS the
+    # 'view' all-reduce under the mesh
+    cost_agg = constrain_volume(aam_aggregate_stacked(params, filtered_costs, stage=1))
     prob_agg = constrain_volume(aam_output_conv(params, cost_agg, stage=1))
     depth_agg = prob2depth(prob_agg, D, depth_start, depth_interval, impl=cfg.softargmin_impl)
 
     # ---- stage 3: refinement per pair (sharded over 'view') ----
+    # reference_compat: the reference's per-pair visual hull always reads camera 1
+    # of the full stack (model.py:321-324 with view_num=2) — same as the scan
+    # pipeline (models/atvsnet.py:102-104), so the two paths stay bit-identical
+    hull_cam = cams[:, 1] if cfg.reference_compat else None
+
     def refine_pair(depth_view, view_cam, shallow_view):
         return tvsnet_refine(
             params, depth_agg, depth_view, prob_agg, cost_agg,
             ref_cam, view_cam, shallow_ref, shallow_view,
-            cfg, depth_start, depth_interval,
+            cfg, depth_start, depth_interval, hull_view_cam=hull_cam,
         )
 
     if cfg.remat:
@@ -122,8 +130,7 @@ def multi_view_forward_spmd(
     refined_costs = constrain_pairs(refined_costs)
 
     # ---- stage 4: AAM2 + upsampled soft-argmin ----
-    stacked2 = jnp.moveaxis(refined_costs, 0, -1)
-    cost_agg2 = aam_aggregate(params, stacked2, stage=2)
+    cost_agg2 = aam_aggregate_stacked(params, refined_costs, stage=2)
     prob_agg2 = aam_output_conv(params, cost_agg2, stage=2)
 
     out = {

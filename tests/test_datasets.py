@@ -184,6 +184,33 @@ class TestMvsSyn:
         allowed = {ds.by_seq[(0, 1)], ds.by_seq[(0, 2)]}
         assert flat <= allowed
 
+    def test_angle_fallback_windows_around_ref(self, tmp_path):
+        """The angle-fallback neighbor list must window around the REF's position
+        (reference mvs_syn_helpers.py:262-274), not take the sequence's first
+        frames (review finding). 12 near-identical views, max_range=4: a late
+        ref's candidates must all be near it."""
+        root = tmp_path / "syn"
+        root.mkdir()
+        n_img = 12
+        with open(root / "num_images.json", "w") as f:
+            json.dump([n_img], f)
+        seq = root / "0000"
+        (seq / "poses").mkdir(parents=True)
+        (seq / "images").mkdir()
+        for i in range(n_img):
+            E = np.eye(4)
+            E[:3, :3] = rotation([0, 1, 0], 0.01 * i)  # tiny angles: all in-cone
+            E[:3, 3] = [0.05 * i, 0, 0]
+            with open(seq / "poses" / f"{i:04d}.json", "w") as f:
+                json.dump({"extrinsic": E.tolist(), "f_x": 50.0, "f_y": 50.0,
+                           "c_x": 32.0, "c_y": 24.0}, f)
+        ds = MvsSynDataset(str(root), num_neighbors=2, max_neighbor_range=4, seed=0)
+        ref = ds.images[ds.by_seq[(0, 10)]]
+        assert ref.is_valid
+        picked = {ds.images[i].img_id for perm in ref.neighbor_permutations for i in perm}
+        # window of 4 around img 10 in [0..9, 11] -> {7, 8, 9, 11}
+        assert picked <= {7, 8, 9, 11}, picked
+
     def test_cam_conversion(self, mvs_syn_dir):
         ds = MvsSynDataset(mvs_syn_dir, num_neighbors=2, seed=0)
         cam = ds.images[0].to_mvsnet_cam(max_d=16)

@@ -50,6 +50,18 @@ class TestSPMDForward:
             rtol=5e-4, atol=5e-5,
         )
 
+    def test_matches_scan_pipeline_reference_compat(self, params, scene):
+        """reference_compat=True must produce the SAME visual-hull camera choice on
+        both paths (review finding: the SPMD path used each pair's own view camera
+        while the scan path pinned camera 1 like the reference)."""
+        images, cams = scene
+        cfg = CFG.replace(reference_compat=True)
+        out_scan = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg))(params, images, cams)
+        out_vmap = jax.jit(lambda p, i, c: multi_view_forward_spmd(p, i, c, cfg))(params, images, cams)
+        np.testing.assert_allclose(
+            np.asarray(out_scan["depth"]), np.asarray(out_vmap["depth"]), rtol=5e-4, atol=5e-5
+        )
+
     def test_sharded_forward_matches_single_device(self, params, scene):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
