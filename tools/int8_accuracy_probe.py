@@ -1,0 +1,126 @@
+"""Accuracy kill-test for int8 activation storage, runnable on CPU.
+
+Companion to tools/microbench_int8.py (the perf side). Before investing in a
+production int8 activation path, measure what per-tensor dynamic int8 storage
+between conv_bn links does to the pipeline's DEPTH outputs. Monkey-patches
+`nn.layers.conv_bn` / `deconv_bn` with variants that round-trip their output
+through int8 (dynamic per-tensor max-abs scale — the cheapest scheme that can
+work, carrying the scale so downstream convs see correctly scaled values), runs
+`multi_view_forward` both ways on a synthetic scene, and reports depth deltas.
+
+If the relative depth error at the quantized links is already large at a small
+config, the idea dies here without TPU time; if small, the TPU perf probe
+decides.
+
+Measured (5-view 64x64 D=16 fp32, synthetic scene, random-init params, CPU):
+  --scope all      depth mean|d|=0.0059 sweep units, 58.6% pixels moved >1% of range
+  --scope volumes  depth mean|d|=0.0022, 19.9% moved >1% of range
+  yardstick: bf16-vs-fp32 same config = mean|d|=0.0037, 43.0% moved >1% of range
+i.e. int8 storage on the 5D volume links perturbs depth LESS than the default
+bf16 compute mode itself does vs fp32 — the accuracy gate passes for a
+volumes-scoped int8 mode; whether to build it is purely a perf question
+(tools/microbench_int8.py on TPU).
+
+Usage (CPU, wedge-safe):
+  env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE JAX_PLATFORMS=cpu \
+    python tools/int8_accuracy_probe.py [--h 64 --w 64 --d 16 --views 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=64)
+    ap.add_argument("--w", type=int, default=64)
+    ap.add_argument("--d", type=int, default=16)
+    ap.add_argument("--views", type=int, default=5)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument(
+        "--scope", default="all", choices=["all", "volumes"],
+        help="volumes: quantize only 5D (plane-sweep volume) conv_bn outputs — "
+        "the links that carry the HBM byte budget",
+    )
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from atvsnet_tpu.config import PipelineConfig
+    from atvsnet_tpu.models.atvsnet import multi_view_forward
+    from atvsnet_tpu.models.tvsnet import init_params
+    from atvsnet_tpu.nn import layers as L
+    from tests._utils import synthetic_scene
+
+    cfg = PipelineConfig(
+        view_num=args.views,
+        max_d=args.d,
+        max_h=args.h,
+        max_w=args.w,
+        compute_dtype=args.dtype,
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    images, cams = synthetic_scene(
+        view_num=args.views, H=args.h, W=args.w, D=args.d, seed=0
+    )
+
+    def run():
+        out = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg))(
+            params, images, cams
+        )
+        return {k: np.asarray(out[k], np.float64) for k in ("depth", "depth_up")}
+
+    base = run()
+
+    # ---- quantizing wrappers: round-trip conv_bn/deconv_bn OUTPUT through int8 ----
+    orig_conv_bn, orig_deconv_bn = L.conv_bn, L.deconv_bn
+
+    def _q(y):
+        if args.scope == "volumes" and y.ndim != 5:
+            return y
+        # per-tensor dynamic max-abs; ReLU outputs are >=0 but keep the signed
+        # form so relu=False call sites (pre-residual-add links) are covered too
+        s = jnp.max(jnp.abs(y.astype(jnp.float32))) / 127.0 + 1e-12
+        q = jnp.clip(jnp.round(y.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+        return (q.astype(jnp.float32) * s).astype(y.dtype)
+
+    def conv_bn_q(params, x, **kw):
+        return _q(orig_conv_bn(params, x, **kw))
+
+    def deconv_bn_q(params, x, **kw):
+        return _q(orig_deconv_bn(params, x, **kw))
+
+    L.conv_bn, L.deconv_bn = conv_bn_q, deconv_bn_q
+    # crm/refine/aam bind `L` at module level and call L.conv_bn dynamically, so
+    # patching the module attribute reaches every call site
+    try:
+        quant = run()
+    finally:
+        L.conv_bn, L.deconv_bn = orig_conv_bn, orig_deconv_bn
+
+    for k in ("depth", "depth_up"):
+        a, b = base[k], quant[k]
+        ad = np.abs(a - b)
+        denom = np.maximum(np.abs(a), 1e-6)
+        print(
+            f"{k:10s} max|d|={ad.max():.5f}  mean|d|={ad.mean():.6f}  "
+            f"rel-mean={(ad / denom).mean():.5f}  "
+            f"(baseline range [{a.min():.3f}, {a.max():.3f}])"
+        )
+    # fraction of pixels whose depth moved by more than 1% of the sweep range
+    for k in ("depth", "depth_up"):
+        ad = np.abs(base[k] - quant[k])
+        rng = base[k].max() - base[k].min() + 1e-9
+        frac = (ad > 0.01 * rng).mean()
+        print(f"{k:10s} pixels moved >1% of depth range: {frac * 100:.3f}%")
+
+
+if __name__ == "__main__":
+    main()
