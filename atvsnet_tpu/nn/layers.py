@@ -300,6 +300,32 @@ def batch_stat_norm(
     return y.astype(x.dtype).reshape(orig_shape)
 
 
+def _maybe_quant_act(y: jnp.ndarray) -> jnp.ndarray:
+    """Optional int8 activation storage for 5D (plane-sweep volume) conv_bn links.
+
+    ATVSNET_ACT_QUANT=int8 (process-level knob, read at trace time like
+    ATVSNET_FP32_PRECISION — set before the first jit) round-trips every volume
+    conv_bn/deconv_bn output through a dynamically scaled int8 lattice. The int8
+    tensor is the only fusion root XLA has to keep in HBM; the dequantize
+    (convert * scale) is a cheap elementwise chain that duplicates into each
+    consumer fusion, so volume links are STORED at 1 byte/elem instead of 2
+    (the pipeline is HBM-bandwidth-bound end to end — tools/roofline.py).
+
+    Accuracy: measured in tools/int8_accuracy_probe.py — volumes-scoped int8
+    perturbs depth LESS than the default bf16 compute mode does vs fp32
+    (mean |ddepth| 0.0022 vs 0.0037 sweep units at the probe config). Off by
+    default; the e2e perf verdict lives in the README dead-end/win ledger.
+    """
+    import os
+
+    if y.ndim != 5 or os.environ.get("ATVSNET_ACT_QUANT", "none") != "int8":
+        return y
+    yf = y.astype(jnp.float32)
+    s = jnp.max(jnp.abs(yf)) / 127.0 + 1e-12
+    q = jnp.clip(jnp.round(yf / s), -127.0, 127.0).astype(jnp.int8)
+    return (q.astype(jnp.float32) * s).astype(y.dtype)
+
+
 def conv_bn(
     params: dict,
     x: jnp.ndarray,
@@ -311,7 +337,7 @@ def conv_bn(
 ) -> jnp.ndarray:
     y = conv(x, params["w"], stride=stride, rate=rate)
     y = batch_stat_norm(y, eps=eps, groups=groups)
-    return jnp.maximum(y, 0) if relu else y
+    return _maybe_quant_act(jnp.maximum(y, 0) if relu else y)
 
 
 def _deconv3d_s2_shuffle(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -425,7 +451,7 @@ def deconv_bn(
 ) -> jnp.ndarray:
     y = deconv(x, params["w"], stride=stride)
     y = batch_stat_norm(y, eps=eps, groups=groups)
-    return jnp.maximum(y, 0) if relu else y
+    return _maybe_quant_act(jnp.maximum(y, 0) if relu else y)
 
 
 def avg_pool_same(x: jnp.ndarray, pool: int, stride: int) -> jnp.ndarray:

@@ -118,9 +118,15 @@ def main() -> None:
     ap.add_argument("--fp32-precision", default=None, choices=["highest", "high", "default"],
                     help="fp32 conv MXU pass count (nn/layers._precision_for); "
                          "only meaningful with --dtype float32")
+    ap.add_argument("--act-quant", default=None, choices=["none", "int8"],
+                    help="int8 activation storage on 5D volume conv_bn links "
+                         "(nn/layers._maybe_quant_act; accuracy measured in "
+                         "tools/int8_accuracy_probe.py)")
     args = ap.parse_args()
     if args.fp32_precision:
         os.environ["ATVSNET_FP32_PRECISION"] = args.fp32_precision
+    if args.act_quant:
+        os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
     xla_options = dict(kv.split("=", 1) for kv in args.xla_option)
 
     import jax

@@ -277,3 +277,36 @@ def test_fp32_precision_env_validation(monkeypatch):
         L._precision_for(x)
     monkeypatch.setenv("ATVSNET_FP32_PRECISION", "high")
     assert L._precision_for(x) is not None
+
+
+def test_act_quant_int8_volume_links(monkeypatch):
+    """ATVSNET_ACT_QUANT=int8 stores 5D conv_bn outputs on a dynamically scaled
+    int8 lattice (<=255 distinct values, relu outputs >=0) and leaves 4D (image
+    feature) links untouched; default env leaves everything bit-identical."""
+    rng = np.random.RandomState(0)
+    p = {"w": jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32) * 0.2)}
+    x5 = jnp.asarray(rng.rand(1, 8, 16, 16, 4).astype(np.float32))
+    p2 = {"w": jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32) * 0.2)}
+    x4 = jnp.asarray(rng.rand(1, 16, 16, 4).astype(np.float32))
+
+    base5 = np.asarray(L.conv_bn(p, x5))
+    base4 = np.asarray(L.conv_bn(p2, x4))
+
+    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8")
+    q5 = np.asarray(L.conv_bn(p, x5))
+    q4 = np.asarray(L.conv_bn(p2, x4))
+
+    assert np.array_equal(base4, q4), "4D links must not be quantized"
+    assert not np.array_equal(base5, q5)
+    # lattice check: values are k * s for integer k in [0, 127]
+    nz = q5[q5 > 0]
+    s = np.max(np.abs(q5)) / 127.0
+    k = nz / s
+    np.testing.assert_allclose(k, np.round(k), atol=1e-3)
+    assert len(np.unique(q5)) <= 256
+    # and the round-trip error is bounded by half a lattice step
+    assert np.max(np.abs(base5 - q5)) <= s * 0.51 + 1e-6
+
+    monkeypatch.delenv("ATVSNET_ACT_QUANT")
+    back = np.asarray(L.conv_bn(p, x5))
+    np.testing.assert_array_equal(base5, back)
