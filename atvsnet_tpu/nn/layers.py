@@ -300,29 +300,57 @@ def batch_stat_norm(
     return y.astype(x.dtype).reshape(orig_shape)
 
 
-def _maybe_quant_act(y: jnp.ndarray) -> jnp.ndarray:
+def _maybe_quant_act(y: jnp.ndarray, nonneg: bool = False) -> jnp.ndarray:
     """Optional int8 activation storage for 5D (plane-sweep volume) conv_bn links.
 
-    ATVSNET_ACT_QUANT=int8 (process-level knob, read at trace time like
+    ATVSNET_ACT_QUANT (process-level knob, read at trace time like
     ATVSNET_FP32_PRECISION — set before the first jit) round-trips every volume
-    conv_bn/deconv_bn output through a dynamically scaled int8 lattice. The int8
-    tensor is the only fusion root XLA has to keep in HBM; the dequantize
-    (convert * scale) is a cheap elementwise chain that duplicates into each
-    consumer fusion, so volume links are STORED at 1 byte/elem instead of 2
-    (the pipeline is HBM-bandwidth-bound end to end — tools/roofline.py).
+    conv_bn/deconv_bn output through an int8 lattice. The int8 tensor is the only
+    fusion root XLA has to keep in HBM; the dequantize (convert * scale) is a
+    cheap elementwise chain that duplicates into each consumer fusion, so volume
+    links are STORED at 1 byte/elem instead of 2 (the pipeline is
+    HBM-bandwidth-bound end to end — tools/roofline.py).
+
+      int8   dynamic per-tensor max-abs scale. Exact-range, but the scalar max
+             is a reduction over the finished BN output, which costs one extra
+             full read pass of the volume before the quantize pass can run —
+             roughly byte-neutral vs bf16 storage; kept for accuracy reference.
+      int8s  STATIC scale. batch_stat_norm output is unit-variance per channel
+             by construction (no learned gamma), so a fixed clip range R sigma
+             (ATVSNET_ACT_QUANT_RANGE, default 6.0) needs no data pass: the
+             quantize fuses into the BN normalize pass and the link is written
+             once at 1 byte/elem. relu links store uint8 over [0, R] (255
+             levels); signed links store int8 over [-R, R].
 
     Accuracy: measured in tools/int8_accuracy_probe.py — volumes-scoped int8
     perturbs depth LESS than the default bf16 compute mode does vs fp32
     (mean |ddepth| 0.0022 vs 0.0037 sweep units at the probe config). Off by
     default; the e2e perf verdict lives in the README dead-end/win ledger.
+
+    INFERENCE-ONLY: round() has zero gradient, so this knob would silently
+    zero every volume-link gradient under jax.grad. cli/train.py never reads
+    it; do not set it for training runs.
     """
     import os
 
-    if y.ndim != 5 or os.environ.get("ATVSNET_ACT_QUANT", "none") != "int8":
+    mode = os.environ.get("ATVSNET_ACT_QUANT", "none")
+    if mode not in ("none", "int8", "int8s"):
+        raise ValueError(
+            f"ATVSNET_ACT_QUANT={mode!r}: expected one of none|int8|int8s")
+    if y.ndim != 5 or mode == "none":
         return y
     yf = y.astype(jnp.float32)
-    s = jnp.max(jnp.abs(yf)) / 127.0 + 1e-12
-    q = jnp.clip(jnp.round(yf / s), -127.0, 127.0).astype(jnp.int8)
+    if mode == "int8":
+        s = jnp.max(jnp.abs(yf)) / 127.0 + 1e-12
+        q = jnp.clip(jnp.round(yf / s), -127.0, 127.0).astype(jnp.int8)
+        return (q.astype(jnp.float32) * s).astype(y.dtype)
+    r = float(os.environ.get("ATVSNET_ACT_QUANT_RANGE", "6.0"))
+    if nonneg:
+        s = r / 255.0
+        q = jnp.clip(jnp.round(yf / s), 0.0, 255.0).astype(jnp.uint8)
+    else:
+        s = r / 127.0
+        q = jnp.clip(jnp.round(yf / s), -127.0, 127.0).astype(jnp.int8)
     return (q.astype(jnp.float32) * s).astype(y.dtype)
 
 
@@ -337,7 +365,7 @@ def conv_bn(
 ) -> jnp.ndarray:
     y = conv(x, params["w"], stride=stride, rate=rate)
     y = batch_stat_norm(y, eps=eps, groups=groups)
-    return _maybe_quant_act(jnp.maximum(y, 0) if relu else y)
+    return _maybe_quant_act(jnp.maximum(y, 0) if relu else y, nonneg=relu)
 
 
 def _deconv3d_s2_shuffle(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -451,7 +479,7 @@ def deconv_bn(
 ) -> jnp.ndarray:
     y = deconv(x, params["w"], stride=stride)
     y = batch_stat_norm(y, eps=eps, groups=groups)
-    return _maybe_quant_act(jnp.maximum(y, 0) if relu else y)
+    return _maybe_quant_act(jnp.maximum(y, 0) if relu else y, nonneg=relu)
 
 
 def avg_pool_same(x: jnp.ndarray, pool: int, stride: int) -> jnp.ndarray:

@@ -310,3 +310,42 @@ def test_act_quant_int8_volume_links(monkeypatch):
     monkeypatch.delenv("ATVSNET_ACT_QUANT")
     back = np.asarray(L.conv_bn(p, x5))
     np.testing.assert_array_equal(base5, back)
+
+
+def test_act_quant_int8s_static_lattice(monkeypatch):
+    """int8s: static 6-sigma lattice, no data-dependent scale. relu links use the
+    255-level non-negative lattice (step 6/255); non-relu links the signed
+    127-level one (step 6/127). Unknown env values raise."""
+    rng = np.random.RandomState(1)
+    p = {"w": jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32) * 0.2)}
+    x5 = jnp.asarray(rng.rand(1, 8, 16, 16, 4).astype(np.float32))
+
+    base_r = np.asarray(L.conv_bn(p, x5, relu=True))
+    base_n = np.asarray(L.conv_bn(p, x5, relu=False))
+
+    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8s")
+    q_r = np.asarray(L.conv_bn(p, x5, relu=True))
+    q_n = np.asarray(L.conv_bn(p, x5, relu=False))
+
+    s_r, s_n = 6.0 / 255.0, 6.0 / 127.0
+    k_r, k_n = q_r / s_r, q_n / s_n
+    np.testing.assert_allclose(k_r, np.round(k_r), atol=1e-3)
+    np.testing.assert_allclose(k_n, np.round(k_n), atol=1e-3)
+    assert q_r.min() >= 0.0 and q_r.max() <= 6.0
+    assert q_n.min() >= -6.0 and q_n.max() <= 6.0
+    # BN output is unit-variance; at 6 sigma essentially nothing clips, so the
+    # round-trip error is bounded by half a lattice step
+    assert np.max(np.abs(base_r - q_r)) <= s_r * 0.51 + 1e-6
+    assert np.max(np.abs(base_n - q_n)) <= s_n * 0.51 + 1e-6
+    # the relu lattice is 2x finer than the signed one
+    assert s_r < s_n
+
+    monkeypatch.setenv("ATVSNET_ACT_QUANT_RANGE", "4.0")
+    q_r4 = np.asarray(L.conv_bn(p, x5, relu=True))
+    k4 = q_r4 / (4.0 / 255.0)
+    np.testing.assert_allclose(k4, np.round(k4), atol=1e-3)
+    monkeypatch.delenv("ATVSNET_ACT_QUANT_RANGE")
+
+    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8x")
+    with pytest.raises(ValueError, match="ATVSNET_ACT_QUANT"):
+        L.conv_bn(p, x5)

@@ -13,13 +13,16 @@ config, the idea dies here without TPU time; if small, the TPU perf probe
 decides.
 
 Measured (5-view 64x64 D=16 fp32, synthetic scene, random-init params, CPU):
-  --scope all      depth mean|d|=0.0059 sweep units, 58.6% pixels moved >1% of range
-  --scope volumes  depth mean|d|=0.0022, 19.9% moved >1% of range
+  --scope all                 depth mean|d|=0.0059 sweep units, 58.6% pixels moved >1% of range
+  --scope volumes --mode int8  depth mean|d|=0.0022, 19.9% moved >1% of range
+  --scope volumes --mode int8s depth mean|d|=0.0020, 19.5% moved >1% of range
   yardstick: bf16-vs-fp32 same config = mean|d|=0.0037, 43.0% moved >1% of range
 i.e. int8 storage on the 5D volume links perturbs depth LESS than the default
 bf16 compute mode itself does vs fp32 — the accuracy gate passes for a
-volumes-scoped int8 mode; whether to build it is purely a perf question
-(tools/microbench_int8.py on TPU).
+volumes-scoped int8 mode, and the STATIC 6-sigma lattice (int8s, uint8 with a
+2x-finer step on relu links, no data-dependent scale pass) is the most accurate
+of the three; whether to ship it is purely a perf question
+(tools/microbench_int8.py + bench.py --act-quant on TPU).
 
 Usage (CPU, wedge-safe):
   env -u PALLAS_AXON_POOL_IPS -u PALLAS_AXON_REMOTE_COMPILE JAX_PLATFORMS=cpu \
@@ -46,6 +49,12 @@ def main() -> None:
         "--scope", default="all", choices=["all", "volumes"],
         help="volumes: quantize only 5D (plane-sweep volume) conv_bn outputs — "
         "the links that carry the HBM byte budget",
+    )
+    ap.add_argument(
+        "--mode", default="int8", choices=["int8", "int8s"],
+        help="volumes scope only: which production ATVSNET_ACT_QUANT mode to "
+        "measure (int8 = dynamic per-tensor scale, int8s = static 6-sigma "
+        "lattice, uint8 on relu links — see nn/layers._maybe_quant_act)",
     )
     args = ap.parse_args()
 
@@ -97,13 +106,22 @@ def main() -> None:
     def deconv_bn_q(params, x, **kw):
         return _q(orig_deconv_bn(params, x, **kw))
 
-    L.conv_bn, L.deconv_bn = conv_bn_q, deconv_bn_q
-    # crm/refine/aam bind `L` at module level and call L.conv_bn dynamically, so
-    # patching the module attribute reaches every call site
-    try:
-        quant = run()
-    finally:
-        L.conv_bn, L.deconv_bn = orig_conv_bn, orig_deconv_bn
+    if args.scope == "volumes":
+        # measure the PRODUCTION path (nn/layers._maybe_quant_act) exactly as
+        # bench.py --act-quant runs it, including int8s's uint8 relu links
+        os.environ["ATVSNET_ACT_QUANT"] = args.mode
+        try:
+            quant = run()
+        finally:
+            os.environ.pop("ATVSNET_ACT_QUANT", None)
+    else:
+        L.conv_bn, L.deconv_bn = conv_bn_q, deconv_bn_q
+        # crm/refine/aam bind `L` at module level and call L.conv_bn dynamically,
+        # so patching the module attribute reaches every call site
+        try:
+            quant = run()
+        finally:
+            L.conv_bn, L.deconv_bn = orig_conv_bn, orig_deconv_bn
 
     for k in ("depth", "depth_up"):
         a, b = base[k], quant[k]

@@ -36,7 +36,15 @@ def main() -> None:
         help="measured steady-state seconds/forward (e.g. batch/maps_per_s from bench.py); "
         "when omitted only the floors are printed",
     )
+    ap.add_argument(
+        "--act-quant", default=None, choices=["none", "int8", "int8s"],
+        help="compare HBM bytes with int8 volume-link storage "
+        "(nn/layers._maybe_quant_act) — the decisive check that the byte cut "
+        "survives XLA fusion rather than materializing dequantized copies",
+    )
     args = ap.parse_args()
+    if args.act_quant:
+        os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
 
     from atvsnet_tpu.utils.runtime import setup_jax
 
