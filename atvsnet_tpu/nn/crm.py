@@ -90,7 +90,8 @@ def crm(params: dict, cost_volume, eps: float = 1e-3, bn_groups: int = 1):
             reordered = jnp.concatenate([w[..., Cc:, :], w[..., :Cc, :]], axis=-2)
             y = L.conv3d_mixed(reordered, warped, ref2d, stride=stride)
             y = L.batch_stat_norm(y, eps=eps, groups=bn_groups)
-            return jnp.maximum(y, 0)
+            # same BN+relu volume link as cbn(): honor ATVSNET_ACT_QUANT
+            return L._maybe_quant_act(jnp.maximum(y, 0), nonneg=True)
 
         b0_1_0 = mixed("conv_b0_1_0", 2)
         b0_0_1 = mixed("conv_b0_0_1", 1)

@@ -636,7 +636,7 @@ def conv3d_mixed_bn(
 ) -> jnp.ndarray:
     y = conv3d_mixed(params["w"], varying, const2d, stride=stride)
     y = batch_stat_norm(y, eps=eps, groups=groups)
-    return jnp.maximum(y, 0) if relu else y
+    return _maybe_quant_act(jnp.maximum(y, 0) if relu else y, nonneg=relu)
 
 
 # ---------------------------------------------------------------------------
