@@ -16,6 +16,8 @@ Measured (5-view 64x64 D=16 fp32, synthetic scene, random-init params, CPU):
   --scope all                 depth mean|d|=0.0059 sweep units, 58.6% pixels moved >1% of range
   --scope volumes --mode int8  depth mean|d|=0.0022, 19.9% moved >1% of range
   --scope volumes --mode int8s depth mean|d|=0.0020, 19.5% moved >1% of range
+                               (0.0017 / 14.5% once the conv3d_mixed links are included)
+  --scope volumes --mode int8w depth mean|d|=0.0021, 22.3% moved >1% of range
   yardstick: bf16-vs-fp32 same config = mean|d|=0.0037, 43.0% moved >1% of range
 i.e. int8 storage on the 5D volume links perturbs depth LESS than the default
 bf16 compute mode itself does vs fp32 — the accuracy gate passes for a
@@ -51,10 +53,14 @@ def main() -> None:
         "the links that carry the HBM byte budget",
     )
     ap.add_argument(
-        "--mode", default="int8", choices=["int8", "int8s"],
+        "--mode", default="int8", choices=["int8", "int8s", "int8w"],
         help="volumes scope only: which production ATVSNET_ACT_QUANT mode to "
         "measure (int8 = dynamic per-tensor scale, int8s = static 6-sigma "
-        "lattice, uint8 on relu links — see nn/layers._maybe_quant_act)",
+        "lattice, uint8 on relu links — see nn/layers._maybe_quant_act). "
+        "int8w = int8s activations PLUS per-tensor symmetric int8 conv/deconv "
+        "WEIGHTS on the 5D links (probe-only fake-quant): the accuracy gate "
+        "for a future int8-MXU conv path (weights and activations both int8, "
+        "int32 accumulation; BN's scale invariance absorbs both scales)",
     )
     args = ap.parse_args()
 
@@ -106,7 +112,29 @@ def main() -> None:
     def deconv_bn_q(params, x, **kw):
         return _q(orig_deconv_bn(params, x, **kw))
 
-    if args.scope == "volumes":
+    if args.scope == "volumes" and args.mode == "int8w":
+        # int8s activations via the production knob + probe-only symmetric int8
+        # WEIGHT fake-quant on the 5D conv/deconv links
+        def _qw(w):
+            s = jnp.max(jnp.abs(w)) / 127.0 + 1e-12
+            return (jnp.clip(jnp.round(w / s), -127, 127) * s).astype(w.dtype)
+
+        def conv_bn_w(params, x, **kw):
+            p = dict(params, w=_qw(params["w"])) if x.ndim == 5 else params
+            return orig_conv_bn(p, x, **kw)
+
+        def deconv_bn_w(params, x, **kw):
+            p = dict(params, w=_qw(params["w"])) if x.ndim == 5 else params
+            return orig_deconv_bn(p, x, **kw)
+
+        L.conv_bn, L.deconv_bn = conv_bn_w, deconv_bn_w
+        os.environ["ATVSNET_ACT_QUANT"] = "int8s"
+        try:
+            quant = run()
+        finally:
+            L.conv_bn, L.deconv_bn = orig_conv_bn, orig_deconv_bn
+            os.environ.pop("ATVSNET_ACT_QUANT", None)
+    elif args.scope == "volumes":
         # measure the PRODUCTION path (nn/layers._maybe_quant_act) exactly as
         # bench.py --act-quant runs it, including int8s's uint8 relu links
         os.environ["ATVSNET_ACT_QUANT"] = args.mode
