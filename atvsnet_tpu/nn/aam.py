@@ -41,9 +41,10 @@ def attention_activation(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     xv = jnp.moveaxis(x, -1, 0).reshape(N * B, D, h, w, C)
 
     # one conv with [unique | shared] stacked on the output axis: same math, wider
-    # (more MXU-efficient) kernel, half the dispatches
+    # (more MXU-efficient) kernel, half the dispatches. qin: AAM inputs are the
+    # CRM/refine output volumes (sums of two stored lattice links), int8mxu-safe.
     w_cat = jnp.concatenate([params["weight_unique"], params["weight_shared"]], axis=-1)
-    both = L.conv(xv, w_cat, relu=True).reshape(N, B, D, h, w, 2 * C)
+    both = L.conv(xv, w_cat, relu=True, qin=True).reshape(N, B, D, h, w, 2 * C)
     unique, shared = both[..., :C], both[..., C:]
     shared_sum = jnp.sum(shared, axis=0)  # (B, D, h, w, C) — psum over views if sharded
 
@@ -74,9 +75,10 @@ def attention_aggregate_stacked(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     N, B = x.shape[:2]
     xv = x.reshape((N * B,) + x.shape[2:])              # free reshape: already contiguous
 
+    # qin: see attention_activation — inputs are sums of stored lattice links
     w_cat = jnp.concatenate([params["weight_unique"], params["weight_shared"]], axis=-1)
     C = x.shape[-1]
-    both = L.conv(xv, w_cat, relu=True).reshape(x.shape[:-1] + (2 * C,))
+    both = L.conv(xv, w_cat, relu=True, qin=True).reshape(x.shape[:-1] + (2 * C,))
     unique, shared = both[..., :C], both[..., C:]
     # fp32 softmax over views (a bf16 softmax variant measured NO faster end-to-end
     # — XLA fuses this chain without materializing the fp32 stack)
@@ -116,5 +118,8 @@ def init_output_conv(key, name: str, channels: int) -> dict:
 
 
 def output_conv(params: dict, name: str, cost_volume: jnp.ndarray) -> jnp.ndarray:
-    """(B, D, h, w, C) -> (B, D, h, w)."""
-    return L.conv(cost_volume, params[name]["w"])[..., 0]
+    """(B, D, h, w, C) -> (B, D, h, w).
+
+    qin: the aggregated cost volume is a softmax-convex combination of the
+    stacked lattice-link volumes (range-bounded by them), int8mxu-safe."""
+    return L.conv(cost_volume, params[name]["w"], qin=True)[..., 0]

@@ -73,8 +73,14 @@ def crm(params: dict, cost_volume, eps: float = 1e-3, bn_groups: int = 1):
     (pair/direction batching); BN statistics stay per-sweep (layers.batch_stat_norm).
     """
 
-    def cbn(name, x, stride=1, relu=True):
-        return L.conv_bn(params[name], x, stride=stride, eps=eps, relu=relu, groups=bn_groups)
+    # qin: every trunk conv input is a stored activation-lattice link or a sum of
+    # 2-3 such links (the dense skips are adds of relu BN outputs), so the int8mxu
+    # mode may run them with int8 operands; only the block-0 ENTRY convs see the
+    # raw cost volume (unknown range) and stay on the float path.
+    def cbn(name, x, stride=1, relu=True, qin=True):
+        return L.conv_bn(
+            params[name], x, stride=stride, eps=eps, relu=relu, groups=bn_groups, qin=qin
+        )
 
     def dbn(name, x):
         return L.deconv_bn(params[name], x, stride=2, eps=eps, groups=bn_groups)
@@ -96,8 +102,8 @@ def crm(params: dict, cost_volume, eps: float = 1e-3, bn_groups: int = 1):
         b0_1_0 = mixed("conv_b0_1_0", 2)
         b0_0_1 = mixed("conv_b0_0_1", 1)
     else:
-        b0_1_0 = cbn("conv_b0_1_0", cost_volume, 2)
-        b0_0_1 = cbn("conv_b0_0_1", cost_volume)
+        b0_1_0 = cbn("conv_b0_1_0", cost_volume, 2, qin=False)
+        b0_0_1 = cbn("conv_b0_0_1", cost_volume, qin=False)
     b0_2_0 = cbn("conv_b0_2_0", b0_1_0, 2)
     b0_3_0 = cbn("conv_b0_3_0", b0_2_0, 2)
     b0_1_1 = cbn("conv_b0_1_1", b0_1_0)
@@ -136,5 +142,5 @@ def crm(params: dict, cost_volume, eps: float = 1e-3, bn_groups: int = 1):
 
     if "conv_b2_6_2" not in params:
         return b2_6_1, None
-    prob = L.conv(b2_6_1, params["conv_b2_6_2"]["w"])  # no relu, no bias
+    prob = L.conv(b2_6_1, params["conv_b2_6_2"]["w"], qin=True)  # no relu, no bias
     return b2_6_1, prob[..., 0]

@@ -62,14 +62,18 @@ def _precision_for(x: jnp.ndarray):
 
 
 def _conv2d(x: jnp.ndarray, w: jnp.ndarray, stride: int, rate: int = 1, padding="SAME") -> jnp.ndarray:
+    # integer operands (the int8mxu activation-quant path) accumulate in int32 on
+    # the MXU's native int8 path; float operands keep their usual precision rules
+    integer = jnp.issubdtype(x.dtype, jnp.integer)
     return lax.conv_general_dilated(
         x,
-        w.astype(x.dtype),
+        w.astype(x.dtype) if not integer else w,
         window_strides=(stride, stride),
         padding=padding,
         rhs_dilation=(rate, rate),
         dimension_numbers=_DIM_NUMBERS[2],
-        precision=_precision_for(x),
+        precision=None if integer else _precision_for(x),
+        preferred_element_type=jnp.int32 if integer else None,
     )
 
 
@@ -190,6 +194,27 @@ def _conv3d_input_stacked(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return _conv2d(xs.reshape(B * D, h, wd, 3 * Ci), w2, 1).reshape(B, D, h, wd, Co)
 
 
+def _quant_conv_operands(x: jnp.ndarray, w: jnp.ndarray):
+    """int8mxu operand quantization for a volume conv whose input is on (or near)
+    the static activation lattice (see _maybe_quant_act).
+
+    Activations: signed int8 on the same +-R range as the stored links (values on
+    the uint8 relu lattice land within half an int8 step). Weights: per-tensor
+    symmetric max-abs int8 (exact scale, computed from the small kernel). Returns
+    (x_int8, w_int8, output_scale): conv(x_int8, w_int8) accumulates in int32 and
+    output_scale restores the float magnitude, so non-BN consumers (prob heads,
+    residual adds, the conv3d_mixed 2D half) stay numerically correct."""
+    import os
+
+    r = float(os.environ.get("ATVSNET_ACT_QUANT_RANGE", "6.0"))
+    si = r / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / si), -127.0, 127.0).astype(jnp.int8)
+    wf = w.astype(jnp.float32)
+    sw = jnp.max(jnp.abs(wf)) / 127.0 + 1e-12
+    wq = jnp.clip(jnp.round(wf / sw), -127.0, 127.0).astype(jnp.int8)
+    return xq, wq, si * sw
+
+
 def conv(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -198,16 +223,32 @@ def conv(
     rate: int = 1,
     relu: bool = False,
     padding="SAME",
+    qin: bool = False,
 ) -> jnp.ndarray:
-    """Rank-dispatching SAME conv (2D on NHWC / 3D on NDHWC), TF-layout kernel."""
+    """Rank-dispatching SAME conv (2D on NHWC / 3D on NDHWC), TF-layout kernel.
+
+    qin ("quantized input ok"): the CALLER asserts this conv's input is a stored
+    activation-lattice link (or a small sum/concat/convex mix of such — see the
+    crm/refine/aam call sites). Under ATVSNET_ACT_QUANT=int8mxu such convs run
+    with int8 operands on the MXU's native int8 path: the input re-quantize fuses
+    into the link's int8 producer chain so the conv READS 1-byte operands (the
+    tap-stack materializes at 1 byte/elem too) instead of dequantized bf16.
+    Ignored in every other mode. INFERENCE-ONLY like the storage modes (round()
+    has zero gradient)."""
     nd = x.ndim - 2
     if nd == 3 and rate == 1 and padding == "SAME" and w.shape[0] == 3 and stride in (1, 2):
+        out_dtype = x.dtype
+        s_out = None
+        if qin and b is None and _act_quant_mode() == "int8mxu":
+            x, w, s_out = _quant_conv_operands(x, w)
         # measured v5e heuristic (tools/microbench_conv.py / round-2 sweeps): the
         # input-stacked form wins at full cost-volume resolution with narrow inputs
         if stride == 1 and x.shape[-1] <= 16 and x.shape[2] * x.shape[3] >= 24000:
             y = _conv3d_input_stacked(x, w)
         else:
             y = _conv3d_decomposed(x, w, stride)
+        if s_out is not None:
+            y = (y.astype(jnp.float32) * s_out).astype(out_dtype)
     else:
         y = lax.conv_general_dilated(
             x,
@@ -300,6 +341,20 @@ def batch_stat_norm(
     return y.astype(x.dtype).reshape(orig_shape)
 
 
+_ACT_QUANT_MODES = ("none", "int8", "int8s", "int8mxu")
+
+
+def _act_quant_mode() -> str:
+    """ATVSNET_ACT_QUANT, validated. Process-level, read at trace time."""
+    import os
+
+    mode = os.environ.get("ATVSNET_ACT_QUANT", "none")
+    if mode not in _ACT_QUANT_MODES:
+        raise ValueError(
+            f"ATVSNET_ACT_QUANT={mode!r}: expected one of {'|'.join(_ACT_QUANT_MODES)}")
+    return mode
+
+
 def _maybe_quant_act(y: jnp.ndarray, nonneg: bool = False) -> jnp.ndarray:
     """Optional int8 activation storage for 5D (plane-sweep volume) conv_bn links.
 
@@ -321,6 +376,14 @@ def _maybe_quant_act(y: jnp.ndarray, nonneg: bool = False) -> jnp.ndarray:
              quantize fuses into the BN normalize pass and the link is written
              once at 1 byte/elem. relu links store uint8 over [0, R] (255
              levels); signed links store int8 over [-R, R].
+      int8mxu  int8s storage PLUS int8 conv execution: volume convs whose
+             caller marks the input as lattice-borne (conv(..., qin=True))
+             consume int8 activations and per-tensor-symmetric int8 weights on
+             the MXU's native int8 path with int32 accumulation (the output
+             scale restores float magnitudes; BN would absorb it anyway). The
+             conv then READS 1-byte operands instead of dequantized bf16 —
+             the byte cut int8s alone cannot give, since XLA convs cannot
+             fuse a dequantize into their operand reads.
 
     Accuracy: measured in tools/int8_accuracy_probe.py — volumes-scoped int8
     perturbs depth LESS than the default bf16 compute mode does vs fp32
@@ -333,10 +396,7 @@ def _maybe_quant_act(y: jnp.ndarray, nonneg: bool = False) -> jnp.ndarray:
     """
     import os
 
-    mode = os.environ.get("ATVSNET_ACT_QUANT", "none")
-    if mode not in ("none", "int8", "int8s"):
-        raise ValueError(
-            f"ATVSNET_ACT_QUANT={mode!r}: expected one of none|int8|int8s")
+    mode = _act_quant_mode()
     if y.ndim != 5 or mode == "none":
         return y
     yf = y.astype(jnp.float32)
@@ -362,8 +422,9 @@ def conv_bn(
     relu: bool = True,
     eps: float = 1e-3,
     groups: int = 1,
+    qin: bool = False,
 ) -> jnp.ndarray:
-    y = conv(x, params["w"], stride=stride, rate=rate)
+    y = conv(x, params["w"], stride=stride, rate=rate, qin=qin)
     y = batch_stat_norm(y, eps=eps, groups=groups)
     return _maybe_quant_act(jnp.maximum(y, 0) if relu else y, nonneg=relu)
 
@@ -587,6 +648,7 @@ def conv3d_mixed(
     varying: jnp.ndarray,
     const2d: jnp.ndarray,
     stride: int = 1,
+    qin: bool = False,
 ) -> jnp.ndarray:
     """conv3d over concat([varying, broadcast_D(const2d)], -1) WITHOUT materializing
     the broadcast: the D-constant channels reduce to 2D convs with the kernel summed
@@ -603,7 +665,7 @@ def conv3d_mixed(
     wv = w[..., :Cv, :]
     wc = w[..., Cv:, :]
 
-    y = conv(varying, wv, stride=stride)  # (B, D', h', w', Cout)
+    y = conv(varying, wv, stride=stride, qin=qin)  # (B, D', h', w', Cout)
 
     # 2D kernels for interior/edge depth positions
     def conv2(kernel2d):
@@ -633,8 +695,9 @@ def conv3d_mixed_bn(
     relu: bool = True,
     eps: float = 1e-3,
     groups: int = 1,
+    qin: bool = False,
 ) -> jnp.ndarray:
-    y = conv3d_mixed(params["w"], varying, const2d, stride=stride)
+    y = conv3d_mixed(params["w"], varying, const2d, stride=stride, qin=qin)
     y = batch_stat_norm(y, eps=eps, groups=groups)
     return _maybe_quant_act(jnp.maximum(y, 0) if relu else y, nonneg=relu)
 

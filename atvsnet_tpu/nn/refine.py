@@ -62,8 +62,14 @@ def refine_net(
         over those F in-channels; geo error and the reference depth are D-constant.
     """
 
-    def cbn(name, x, stride=1):
-        return L.conv_bn(params[f"{_P}{name}"], x, stride=stride, eps=eps, groups=bn_groups)
+    # qin: the U-Net trunk consumes the concat/sums of the four entry links (all
+    # stored activation-lattice relu BN outputs) — int8mxu may run those convs on
+    # int8 operands; the four ENTRY convs see raw groups (photo error, geometry,
+    # probability, hull — unknown/non-unit ranges) and stay on the float path.
+    def cbn(name, x, stride=1, qin=True):
+        return L.conv_bn(
+            params[f"{_P}{name}"], x, stride=stride, eps=eps, groups=bn_groups, qin=qin
+        )
 
     def dbn(name, x):
         return L.deconv_bn(params[f"{_P}{name}"], x, stride=2, eps=eps, groups=bn_groups)
@@ -74,7 +80,7 @@ def refine_net(
             params[f"{_P}_photo_3dconv"], vary, const2d, stride=1, eps=eps, groups=bn_groups
         )
     else:
-        photo = cbn("_photo_3dconv", photo_group)
+        photo = cbn("_photo_3dconv", photo_group, qin=False)
 
     if isinstance(geo_group, tuple):
         vary, const2d, F = geo_group
@@ -88,16 +94,19 @@ def refine_net(
             axis=-2,
         )
         y = L.conv3d_mixed(w_eff, vary, const2d, stride=1)
-        geo = jnp.maximum(L.batch_stat_norm(y, eps=eps, groups=bn_groups), 0)
+        # same BN+relu volume-link class as the other entries: honor ATVSNET_ACT_QUANT
+        geo = L._maybe_quant_act(
+            jnp.maximum(L.batch_stat_norm(y, eps=eps, groups=bn_groups), 0), nonneg=True
+        )
     else:
-        geo = cbn("_geo_3dconv", geo_group)
+        geo = cbn("_geo_3dconv", geo_group, qin=False)
 
     x = jnp.concatenate(
         [
             photo,
             geo,
-            cbn("_prob_3dconv", prob_vol),
-            cbn("_vishull_3dconv", vis_hull),
+            cbn("_prob_3dconv", prob_vol, qin=False),
+            cbn("_vishull_3dconv", vis_hull, qin=False),
         ],
         axis=-1,
     )
@@ -112,5 +121,5 @@ def refine_net(
     c5_0 = dbn("_3dconv5_0", c4_0 + c2_1)
     c6_0 = dbn("_3dconv6_0", c5_0 + c1_1)
     c6_1 = c6_0 + c0_1  # cost residual (B, D, h, w, f)
-    prob_residual = L.conv(c6_1, params[f"{_P}d_cost_vol"]["w"])[..., 0]
+    prob_residual = L.conv(c6_1, params[f"{_P}d_cost_vol"]["w"], qin=True)[..., 0]
     return c6_1, prob_residual

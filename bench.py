@@ -118,7 +118,7 @@ def main() -> None:
     ap.add_argument("--fp32-precision", default=None, choices=["highest", "high", "default"],
                     help="fp32 conv MXU pass count (nn/layers._precision_for); "
                          "only meaningful with --dtype float32")
-    ap.add_argument("--act-quant", default=None, choices=["none", "int8", "int8s"],
+    ap.add_argument("--act-quant", default=None, choices=["none", "int8", "int8s", "int8mxu"],
                     help="int8 activation storage on 5D volume conv_bn links "
                          "(nn/layers._maybe_quant_act; accuracy measured in "
                          "tools/int8_accuracy_probe.py)")

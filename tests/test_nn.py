@@ -349,3 +349,49 @@ def test_act_quant_int8s_static_lattice(monkeypatch):
     monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8x")
     with pytest.raises(ValueError, match="ATVSNET_ACT_QUANT"):
         L.conv_bn(p, x5)
+
+
+def test_act_quant_int8mxu_integer_conv_path(monkeypatch):
+    """int8mxu = int8s storage + real int8 convs at qin=True call sites.
+
+    - storage is identical to int8s (qin=False conv_bn outputs match bit-for-bit);
+    - qin=True runs the conv with int8 operands / int32 accumulation: post-BN
+      outputs stay within a small bound of the float path (accuracy is gated
+      e2e by tools/int8_accuracy_probe.py --mode int8mxu);
+    - the restored output scale keeps RAW (non-BN) conv magnitudes correct;
+    - 4D (image-feature) convs never take the integer path;
+    - the lowered HLO of a qin=True volume conv contains an integer convolution.
+    """
+    rng = np.random.RandomState(3)
+    p = {"w": jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32) * 0.2)}
+    x5 = jnp.asarray(rng.rand(1, 8, 16, 16, 4).astype(np.float32))
+    p4 = {"w": jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32) * 0.2)}
+    x4 = jnp.asarray(rng.rand(1, 16, 16, 4).astype(np.float32))
+
+    base_bn = np.asarray(L.conv_bn(p, x5, qin=True))
+    base_raw = np.asarray(L.conv(x5, p["w"]))
+    base_4d = np.asarray(L.conv_bn(p4, x4, qin=True))
+
+    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8s")
+    q_store = np.asarray(L.conv_bn(p, x5, qin=False))
+    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8mxu")
+    q_store_mxu = np.asarray(L.conv_bn(p, x5, qin=False))
+    q_bn = np.asarray(L.conv_bn(p, x5, qin=True))
+    q_raw = np.asarray(L.conv(x5, p["w"], qin=True))
+    q_4d = np.asarray(L.conv_bn(p4, x4, qin=True))
+
+    # storage identical to int8s when the conv stays float
+    np.testing.assert_array_equal(q_store, q_store_mxu)
+    # 4D untouched (the integer path is volume-only)
+    np.testing.assert_array_equal(base_4d, q_4d)
+    # BN output (unit variance) deviates by a bounded amount
+    assert 0 < np.abs(base_bn - q_bn).max() < 0.5
+    # raw conv: scale restored, magnitudes correct within quantization error
+    rel = np.abs(base_raw - q_raw).max() / (np.abs(base_raw).max() + 1e-9)
+    assert rel < 0.05
+    # the compiled program really contains an integer conv
+    hlo = jax.jit(lambda a: L.conv(a, p["w"], qin=True)).lower(x5).as_text()
+    assert "xi8>" in hlo and "xi32>" in hlo, "expected int8 operands / int32 accumulation"
+
+    monkeypatch.delenv("ATVSNET_ACT_QUANT")
+    np.testing.assert_array_equal(base_bn, np.asarray(L.conv_bn(p, x5, qin=True)))

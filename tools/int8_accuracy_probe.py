@@ -53,14 +53,17 @@ def main() -> None:
         "the links that carry the HBM byte budget",
     )
     ap.add_argument(
-        "--mode", default="int8", choices=["int8", "int8s", "int8w"],
+        "--mode", default="int8", choices=["int8", "int8s", "int8w", "int8mxu"],
         help="volumes scope only: which production ATVSNET_ACT_QUANT mode to "
         "measure (int8 = dynamic per-tensor scale, int8s = static 6-sigma "
         "lattice, uint8 on relu links — see nn/layers._maybe_quant_act). "
         "int8w = int8s activations PLUS per-tensor symmetric int8 conv/deconv "
         "WEIGHTS on the 5D links (probe-only fake-quant): the accuracy gate "
         "for a future int8-MXU conv path (weights and activations both int8, "
-        "int32 accumulation; BN's scale invariance absorbs both scales)",
+        "int32 accumulation; BN's scale invariance absorbs both scales). "
+        "int8mxu = the PRODUCTION int8-MXU path (conv(qin=True) call sites run "
+        "real int8 convs with int32 accumulation, signed 127-level input "
+        "lattice — strictly what bench.py --act-quant int8mxu executes)",
     )
     args = ap.parse_args()
 

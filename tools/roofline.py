@@ -37,7 +37,7 @@ def main() -> None:
         "when omitted only the floors are printed",
     )
     ap.add_argument(
-        "--act-quant", default=None, choices=["none", "int8", "int8s"],
+        "--act-quant", default=None, choices=["none", "int8", "int8s", "int8mxu"],
         help="compare HBM bytes with int8 volume-link storage "
         "(nn/layers._maybe_quant_act) — the decisive check that the byte cut "
         "survives XLA fusion rather than materializing dequantized copies",
