@@ -401,7 +401,14 @@ def main() -> None:
                     help="render the viz PNG from the 4x-upsampled map like the "
                          "reference (costs the full upsampled soft-argmin chain; "
                          "the PFM outputs are identical either way)")
+    ap.add_argument("--act-quant", default=None,
+                    choices=["none", "int8", "int8s", "int8mxu"],
+                    help="int8 activation storage/compute for the volume links "
+                         "(sets ATVSNET_ACT_QUANT before tracing; accuracy-gated "
+                         "in tools/int8_accuracy_probe.py, inference-only)")
     args = ap.parse_args()
+    if args.act_quant:
+        os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
     run_eval_pc(
         args.data_root, args.savepath, args.scenes,
         view_num=args.view_num, max_d=args.max_d, max_w=args.max_w, max_h=args.max_h,
