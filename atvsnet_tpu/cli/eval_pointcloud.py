@@ -406,9 +406,14 @@ def main() -> None:
                     help="int8 activation storage/compute for the volume links "
                          "(sets ATVSNET_ACT_QUANT before tracing; accuracy-gated "
                          "in tools/int8_accuracy_probe.py, inference-only)")
+    ap.add_argument("--warp-quant", default=None, choices=["none", "int8"],
+                    help="int8 storage for the warped feature volumes (sets "
+                         "ATVSNET_WARP_QUANT; independent of --act-quant)")
     args = ap.parse_args()
     if args.act_quant:
         os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
+    if args.warp_quant:
+        os.environ["ATVSNET_WARP_QUANT"] = args.warp_quant
     run_eval_pc(
         args.data_root, args.savepath, args.scenes,
         view_num=args.view_num, max_d=args.max_d, max_w=args.max_w, max_h=args.max_h,

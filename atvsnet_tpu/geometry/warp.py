@@ -178,6 +178,41 @@ def homography_warp(
     return out.reshape(B, H, W, C)
 
 
+def _maybe_quant_warp(out: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
+    """Optional int8 storage for plane-sweep warped feature volumes.
+
+    ATVSNET_WARP_QUANT=int8 (process-level, read at trace time; independent of
+    ATVSNET_ACT_QUANT so the two byte cuts can be A/B'd separately) stores the
+    (B, D, H, W, C) warped volume on a per-(sample, channel) int8 lattice. The
+    scale comes from the SMALL 2D source map, not the volume: bilinear corner
+    weights are convex (>= 0, sum <= 1; invalid samples are exactly 0), so
+    |warped[b, ..., c]| <= max|image[b, ..., c]| — an exact no-clip bound with
+    no data pass over the volume. Quantize fuses into the gather's corner-sum
+    write, so the volume lands in HBM at 1 byte/elem; the dequantize duplicates
+    into the consumer convs' operand reads. Zeros stay exactly zero (invalid
+    samples keep the reference's mask-multiply semantics). INFERENCE-ONLY
+    (round() has zero gradient), like the ACT_QUANT modes.
+
+    Applied only to BILINEAR sweeps (the feature cost-volume path): the nearest
+    sweeps carry depth values into the visual hull / geometric comparisons,
+    where a 1/127-of-range lattice is not an acceptable error model."""
+    import os
+
+    mode = os.environ.get("ATVSNET_WARP_QUANT", "none")
+    if mode not in ("none", "int8"):
+        raise ValueError(
+            f"ATVSNET_WARP_QUANT={mode!r}: expected one of none|int8")
+    if mode == "none":
+        return out
+    s = (
+        jnp.max(jnp.abs(image.astype(jnp.float32)), axis=(1, 2), keepdims=True)
+        / 127.0
+        + 1e-12
+    )[:, None]  # (B, 1, 1, 1, C)
+    q = jnp.clip(jnp.round(out.astype(jnp.float32) / s), -127.0, 127.0).astype(jnp.int8)
+    return (q.astype(jnp.float32) * s).astype(out.dtype)
+
+
 def plane_sweep_warp(
     image: jnp.ndarray,
     homographies: jnp.ndarray,
@@ -200,9 +235,12 @@ def plane_sweep_warp(
         out, mask = interpolate(
             image, x, y, method=method, output_mask=True, out_spatial=spatial
         )
-        return out.reshape(B, D, H, W, C), mask.reshape(B, D, H, W, 1)
-    out = interpolate(image, x, y, method=method, out_spatial=spatial)
-    return out.reshape(B, D, H, W, C)
+        out = out.reshape(B, D, H, W, C)
+        if method == "bilinear":
+            out = _maybe_quant_warp(out, image)
+        return out, mask.reshape(B, D, H, W, 1)
+    out = interpolate(image, x, y, method=method, out_spatial=spatial).reshape(B, D, H, W, C)
+    return _maybe_quant_warp(out, image) if method == "bilinear" else out
 
 
 def plane_sweep_warp_with_nearest(

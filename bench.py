@@ -122,11 +122,17 @@ def main() -> None:
                     help="int8 activation storage on 5D volume conv_bn links "
                          "(nn/layers._maybe_quant_act; accuracy measured in "
                          "tools/int8_accuracy_probe.py)")
+    ap.add_argument("--warp-quant", default=None, choices=["none", "int8"],
+                    help="int8 storage for the bilinear plane-sweep warped volumes "
+                         "(geometry/warp._maybe_quant_warp; exact per-channel scale "
+                         "bound from the 2D source map, independent of --act-quant)")
     args = ap.parse_args()
     if args.fp32_precision:
         os.environ["ATVSNET_FP32_PRECISION"] = args.fp32_precision
     if args.act_quant:
         os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
+    if args.warp_quant:
+        os.environ["ATVSNET_WARP_QUANT"] = args.warp_quant
     xla_options = dict(kv.split("=", 1) for kv in args.xla_option)
 
     import jax

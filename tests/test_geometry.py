@@ -164,6 +164,46 @@ class TestWarps:
             single = np.asarray(homography_warp(jnp.asarray(img), H[:, d]))
             np.testing.assert_allclose(vol[:, d], single, atol=1e-6)
 
+    def test_warp_quant_int8_storage(self, monkeypatch):
+        """ATVSNET_WARP_QUANT=int8: bilinear sweeps store on a per-(sample,channel)
+        int8 lattice scaled by the SOURCE map's max-abs (an exact no-clip bound —
+        bilinear weights are convex), zeros stay exactly zero, nearest sweeps are
+        untouched, and the unset env is bit-identical."""
+        rng = np.random.RandomState(7)
+        img = (rng.rand(2, 12, 16, 4).astype(np.float32) - 0.3) * 5.0
+        cam_l = make_cam(K0, np.eye(3), np.zeros(3))
+        cam_r = make_cam(K0, R1, T1)
+        cl = jnp.asarray(np.stack([cam_l, cam_l]))
+        cr = jnp.asarray(np.stack([cam_r, cam_r]))
+        H = get_homographies(cl, cr, 5, jnp.array([0.2, 0.2]), jnp.array([0.02, 0.02]))
+
+        base = np.asarray(plane_sweep_warp(jnp.asarray(img), H))
+        base_n = np.asarray(plane_sweep_warp(jnp.asarray(img), H, method="nearest"))
+
+        monkeypatch.setenv("ATVSNET_WARP_QUANT", "int8")
+        q = np.asarray(plane_sweep_warp(jnp.asarray(img), H))
+        q_n = np.asarray(plane_sweep_warp(jnp.asarray(img), H, method="nearest"))
+
+        # nearest (depth-carrying) sweeps never quantize
+        np.testing.assert_array_equal(base_n, q_n)
+        # per-(sample, channel) lattice with the documented scale; no clipping
+        s = np.abs(img).max(axis=(1, 2)) / 127.0 + 1e-12        # (B, C)
+        for b in range(2):
+            for c in range(4):
+                k = q[b, ..., c] / s[b, c]
+                np.testing.assert_allclose(k, np.round(k), atol=1e-3)
+                assert np.abs(k).max() <= 127.0
+        # round-trip error bounded by half a step; exact zeros preserved
+        assert np.abs(base - q).max() <= s.max() * 0.51 + 1e-6
+        assert np.array_equal(q[base == 0.0], np.zeros_like(q[base == 0.0]))
+
+        monkeypatch.setenv("ATVSNET_WARP_QUANT", "bogus")
+        with pytest.raises(ValueError, match="ATVSNET_WARP_QUANT"):
+            plane_sweep_warp(jnp.asarray(img), H)
+
+        monkeypatch.delenv("ATVSNET_WARP_QUANT")
+        np.testing.assert_array_equal(base, np.asarray(plane_sweep_warp(jnp.asarray(img), H)))
+
     def test_transform_depth_consistency(self):
         """The transformed depth must equal the right-camera z of the 3D point."""
         cam_l = make_cam(K0, np.eye(3), np.zeros(3))[None]

@@ -53,7 +53,7 @@ def main() -> None:
         "the links that carry the HBM byte budget",
     )
     ap.add_argument(
-        "--mode", default="int8", choices=["int8", "int8s", "int8w", "int8mxu"],
+        "--mode", default="int8", choices=["none", "int8", "int8s", "int8w", "int8mxu"],
         help="volumes scope only: which production ATVSNET_ACT_QUANT mode to "
         "measure (int8 = dynamic per-tensor scale, int8s = static 6-sigma "
         "lattice, uint8 on relu links — see nn/layers._maybe_quant_act). "
@@ -63,7 +63,14 @@ def main() -> None:
         "int32 accumulation; BN's scale invariance absorbs both scales). "
         "int8mxu = the PRODUCTION int8-MXU path (conv(qin=True) call sites run "
         "real int8 convs with int32 accumulation, signed 127-level input "
-        "lattice — strictly what bench.py --act-quant int8mxu executes)",
+        "lattice — strictly what bench.py --act-quant int8mxu executes). "
+        "none = no activation quant (for --warp-quant-only runs)",
+    )
+    ap.add_argument(
+        "--warp-quant", default=None, choices=["int8"],
+        help="volumes scope: ALSO store the bilinear plane-sweep warped volumes "
+        "int8 (geometry/warp._maybe_quant_warp, per-channel exact-bound scale); "
+        "composes with --mode or measures alone with --mode none",
     )
     args = ap.parse_args()
 
@@ -139,12 +146,17 @@ def main() -> None:
             os.environ.pop("ATVSNET_ACT_QUANT", None)
     elif args.scope == "volumes":
         # measure the PRODUCTION path (nn/layers._maybe_quant_act) exactly as
-        # bench.py --act-quant runs it, including int8s's uint8 relu links
-        os.environ["ATVSNET_ACT_QUANT"] = args.mode
+        # bench.py --act-quant runs it, including int8s's uint8 relu links;
+        # --warp-quant composes (or measures alone with --mode none)
+        if args.mode != "none":
+            os.environ["ATVSNET_ACT_QUANT"] = args.mode
+        if args.warp_quant:
+            os.environ["ATVSNET_WARP_QUANT"] = args.warp_quant
         try:
             quant = run()
         finally:
             os.environ.pop("ATVSNET_ACT_QUANT", None)
+            os.environ.pop("ATVSNET_WARP_QUANT", None)
     else:
         L.conv_bn, L.deconv_bn = conv_bn_q, deconv_bn_q
         # crm/refine/aam bind `L` at module level and call L.conv_bn dynamically,

@@ -42,9 +42,16 @@ def main() -> None:
         "(nn/layers._maybe_quant_act) — the decisive check that the byte cut "
         "survives XLA fusion rather than materializing dequantized copies",
     )
+    ap.add_argument(
+        "--warp-quant", default=None, choices=["none", "int8"],
+        help="compare HBM bytes with int8 warped-volume storage "
+        "(geometry/warp._maybe_quant_warp), independent of --act-quant",
+    )
     args = ap.parse_args()
     if args.act_quant:
         os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
+    if args.warp_quant:
+        os.environ["ATVSNET_WARP_QUANT"] = args.warp_quant
 
     from atvsnet_tpu.utils.runtime import setup_jax
 
