@@ -58,7 +58,7 @@ def main(n_devices: int = 8) -> None:
     from atvsnet_tpu.models.tvsnet import init_params
     from atvsnet_tpu.parallel.mesh import make_mesh
     from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd
-    from tests._utils import synthetic_scene
+    from atvsnet_tpu.data.synthetic import synthetic_scene
 
     view_num, D, H, W = 3, 16, 64, 64
     cfg = PipelineConfig(view_num=view_num, max_d=D, max_h=H, max_w=W, softargmin_impl="xla")

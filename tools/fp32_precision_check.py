@@ -28,7 +28,7 @@ def child(precision: str, out_path: str) -> None:
     from atvsnet_tpu.config import PipelineConfig
     from atvsnet_tpu.models.atvsnet import multi_view_forward
     from atvsnet_tpu.models.tvsnet import init_params
-    from tests._utils import synthetic_scene
+    from atvsnet_tpu.data.synthetic import synthetic_scene
 
     cfg = PipelineConfig(view_num=5, max_d=16, max_h=64, max_w=64, compute_dtype="float32")
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -82,7 +82,7 @@ def main() -> None:
     from atvsnet_tpu.models.atvsnet import multi_view_forward
     from atvsnet_tpu.models.tvsnet import init_params
     from atvsnet_tpu.nn import layers as L
-    from tests._utils import synthetic_scene
+    from atvsnet_tpu.data.synthetic import synthetic_scene
 
     cfg = PipelineConfig(
         view_num=args.views,

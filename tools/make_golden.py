@@ -32,7 +32,7 @@ from atvsnet_tpu.config import PipelineConfig  # noqa: E402
 from atvsnet_tpu.models.atvsnet import multi_view_forward  # noqa: E402
 from atvsnet_tpu.models.tvsnet import init_params, two_view_forward  # noqa: E402
 from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd  # noqa: E402
-from tests._utils import synthetic_scene  # noqa: E402
+from atvsnet_tpu.data.synthetic import synthetic_scene  # noqa: E402
 
 
 def golden_cases():

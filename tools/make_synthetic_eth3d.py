@@ -23,7 +23,7 @@ def make_scene(scene_dir: str, n_images: int, view_num: int, W: int, H: int, see
     import cv2
 
     from atvsnet_tpu.data.cams import write_cam
-    from tests._utils import make_cam, rotation
+    from atvsnet_tpu.data.synthetic import make_cam, rotation
 
     os.makedirs(os.path.join(scene_dir, "images"), exist_ok=True)
     os.makedirs(os.path.join(scene_dir, "cams"), exist_ok=True)

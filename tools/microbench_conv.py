@@ -111,7 +111,7 @@ def main():
 
     from atvsnet_tpu.geometry.warp import plane_sweep_warp
     from atvsnet_tpu.geometry.homography import get_homographies
-    from tests._utils import synthetic_scene
+    from atvsnet_tpu.data.synthetic import synthetic_scene
 
     _, cams = synthetic_scene(view_num=2, H=480, W=896, D=D)
     cams = jnp.asarray(cams)

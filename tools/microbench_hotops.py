@@ -57,7 +57,7 @@ def main():
     # ---- full plane-sweep warp, feature width ----
     from atvsnet_tpu.geometry.homography import get_homographies
     from atvsnet_tpu.geometry.warp import plane_sweep_warp
-    from tests._utils import synthetic_scene
+    from atvsnet_tpu.data.synthetic import synthetic_scene
 
     _, cams = synthetic_scene(view_num=2, H=h * 4, W=w * 4, D=D, seed=0)
     cams = jnp.asarray(cams)

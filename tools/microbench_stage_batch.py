@@ -23,7 +23,7 @@ import jax.numpy as jnp  # noqa: E402
 from atvsnet_tpu.nn.crm import crm, init_crm  # noqa: E402
 from atvsnet_tpu.geometry.homography import get_homographies  # noqa: E402
 from atvsnet_tpu.geometry.warp import plane_sweep_warp  # noqa: E402
-from tests._utils import synthetic_scene  # noqa: E402
+from atvsnet_tpu.data.synthetic import synthetic_scene  # noqa: E402
 
 D, h, w = 128, 120, 224
 

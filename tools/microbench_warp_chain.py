@@ -24,7 +24,7 @@ from jax import lax  # noqa: E402
 
 from atvsnet_tpu.geometry.homography import get_homographies  # noqa: E402
 from atvsnet_tpu.geometry.warp import plane_sweep_warp  # noqa: E402
-from tests._utils import synthetic_scene  # noqa: E402
+from atvsnet_tpu.data.synthetic import synthetic_scene  # noqa: E402
 
 D, h, w = 128, 120, 224
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp  # noqa: E402
 from atvsnet_tpu.config import PipelineConfig, TrainConfig  # noqa: E402
 from atvsnet_tpu.models.train import TrainState, make_optimizer, train_step  # noqa: E402
 from atvsnet_tpu.models.tvsnet import init_params  # noqa: E402
-from tests._utils import synthetic_scene  # noqa: E402
+from atvsnet_tpu.data.synthetic import synthetic_scene  # noqa: E402
 
 
 def main() -> None:

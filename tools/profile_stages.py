@@ -32,7 +32,7 @@ from atvsnet_tpu.models.tvsnet import (  # noqa: E402
     tvsnet_base,
 )
 from atvsnet_tpu.nn.crm import crm  # noqa: E402
-from tests._utils import synthetic_scene  # noqa: E402
+from atvsnet_tpu.data.synthetic import synthetic_scene  # noqa: E402
 
 H, W, D, N = 480, 896, 128, 5
 
