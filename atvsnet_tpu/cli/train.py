@@ -23,10 +23,7 @@ from atvsnet_tpu.utils import log
 
 
 def synthetic_batch(cfg: PipelineConfig, rng: np.random.RandomState):
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
-    from tests._utils import synthetic_scene
+    from atvsnet_tpu.data.synthetic import synthetic_scene
 
     images, cams = synthetic_scene(
         view_num=cfg.view_num, H=cfg.max_h, W=cfg.max_w, D=cfg.max_d,
@@ -35,6 +32,19 @@ def synthetic_batch(cfg: PipelineConfig, rng: np.random.RandomState):
     h, w = cfg.max_h // 4, cfg.max_w // 4
     gt = (0.5 + 0.05 * cfg.max_d * rng.rand(1, h, w, 1)).astype(np.float32)
     return {"images": images, "cams": cams, "depth_gt": gt}
+
+
+def planes_batch(cfg: PipelineConfig, rng: np.random.RandomState):
+    """Photo-consistent procedural scene (data/synthetic.render_multiplane_scene):
+    real MVS supervision without a dataset — the accuracy-demonstration path while
+    the reference checkpoint blob is missing (example.py:122-124)."""
+    from atvsnet_tpu.data.synthetic import render_multiplane_scene
+
+    s = render_multiplane_scene(
+        view_num=cfg.view_num, H=cfg.max_h, W=cfg.max_w, D=cfg.max_d,
+        seed=rng.randint(1 << 30), inverse_depth=cfg.inverse_depth,
+    )
+    return {"images": s["images"], "cams": s["cams"], "depth_gt": s["depth_gt"]}
 
 
 def main() -> None:
@@ -57,6 +67,16 @@ def main() -> None:
         "per-pair depths directly (preprocess_mvs_syn.py:485-582 sample layout)",
     )
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
+    ap.add_argument(
+        "--synthetic_planes", action="store_true",
+        help="train on photo-consistent procedural multiplane scenes "
+        "(data/synthetic.render_multiplane_scene) — learns real multi-view "
+        "matching, unlike --synthetic's random-texture smoke data",
+    )
+    ap.add_argument(
+        "--export_params", default=None,
+        help="also save a params-only npz (consumable by example/eval --params)",
+    )
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--view_num", type=int, default=3)
     ap.add_argument("--max_d", type=int, default=32)
@@ -100,7 +120,10 @@ def main() -> None:
         log.info(f"resumed from {args.ckpt} at step {int(state.step)}")
 
     rng = np.random.RandomState(args.seed)
-    if args.data_root and not args.synthetic and args.dataset == "colmap":
+    if args.synthetic_planes:
+        log.info("training on photo-consistent procedural multiplane scenes")
+        next_batch = lambda: planes_batch(cfg, rng)  # noqa: E731
+    elif args.data_root and not args.synthetic and args.dataset == "colmap":
         from atvsnet_tpu.data.colmap_train import (
             eth3d_training_samples,
             load_colmap_training_sample,
@@ -156,6 +179,12 @@ def main() -> None:
             save_train_state(args.ckpt, state)
     save_train_state(args.ckpt, state)
     log.info(f"final state saved to {args.ckpt}")
+    if args.export_params:
+        from atvsnet_tpu.utils.ckpt import save_params
+
+        os.makedirs(os.path.dirname(args.export_params) or ".", exist_ok=True)
+        save_params(args.export_params, jax.device_get(state.params))
+        log.info(f"params exported to {args.export_params}")
 
 
 if __name__ == "__main__":
