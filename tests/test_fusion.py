@@ -197,3 +197,21 @@ class TestGeneralSurface:
         same, _ = fuse_depth_maps(depths, images, cams, 0.01, 2, depth_min=3.0, depth_max=5.0)
         base, _ = fuse_depth_maps(depths, images, cams, 0.01, 2)
         assert same.shape == base.shape
+
+
+def test_fuse_chunked_matches_per_ref():
+    """ref_chunk > 1 (batched refs + pipelined compaction) emits the same points as
+    the per-ref path, including with a padded tail chunk (V not divisible by chunk).
+
+    Equality is to float tolerance, not bitwise: vmapping the ref axis lets XLA
+    batch the reprojection einsums, which reorders the contractions (last-ulp
+    differences in X; the emit decisions themselves are threshold tests far from
+    the boundary on this scene, so the point SET is stable)."""
+    depths, images, cams = plane_scene(V=4)
+
+    p1, c1 = fuse_depth_maps(depths, images, cams, ref_chunk=1)
+    for chunk in (3, 64):
+        p, c = fuse_depth_maps(depths, images, cams, ref_chunk=chunk)
+        assert p.shape == p1.shape, (chunk, p.shape, p1.shape)
+        np.testing.assert_allclose(p, p1, atol=1e-5)
+        np.testing.assert_array_equal(c, c1)

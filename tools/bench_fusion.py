@@ -1,0 +1,96 @@
+"""Fusion-stage benchmark at ETH3D scene scale (VERDICT r3 item 3).
+
+The reference instruments its fusion kernel with CUDA events
+(fusibile/fusibile.cu:421-438) but commits no numbers; this measures our
+replacement (fusion/consistency.fuse_depth_maps) end to end — device consistency
+passes + host compaction — on a fabricated geometrically-consistent scene at the
+ETH3D eval shape (480x896, reference eval_pointcloud.py:38-58), sweeping the view
+count. Total work scales O(V^2 * H * W) (every camera acts as reference against
+every other view, like the host loop at fusibile.cu:425-430).
+
+Scene: fronto-parallel plane at depth Z0 seen by a V-camera translation grid with
+identity rotations — every pixel's back-projection lands exactly on the plane in
+every other view, so the relative-disparity test passes wherever the projection is
+in bounds (points genuinely emit, exercising compaction at realistic densities).
+A fraction of pixels is zeroed to mimic the probability filter.
+
+Usage: python tools/bench_fusion.py [--views 8 16 24 40] [--height 480] [--width 896]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_consistent_scene(V: int, H: int, W: int, z0: float = 10.0, drop: float = 0.2):
+    """V cameras on a translation grid, all seeing the plane z = z0."""
+    rng = np.random.RandomState(0)
+    f = 0.8 * W
+    K = np.array([[f, 0.0, W / 2.0], [0.0, f, H / 2.0], [0.0, 0.0, 1.0]], np.float64)
+    cams = np.zeros((V, 2, 4, 4), np.float32)
+    side = int(np.ceil(np.sqrt(V)))
+    for v in range(V):
+        # camera centers on a grid, looking down +z; extrinsic t = -R C = -C
+        cx = 0.08 * (v % side - side / 2.0)
+        cy = 0.08 * (v // side - side / 2.0)
+        cams[v, 0] = np.eye(4)
+        cams[v, 0, 0, 3] = -cx
+        cams[v, 0, 1, 3] = -cy
+        cams[v, 1, :3, :3] = K
+    depths = np.full((V, H, W), z0, np.float32)
+    # simulated probability filter: a random fraction carries no depth
+    mask = rng.rand(V, H, W) < drop
+    depths[mask] = 0.0
+    images = rng.randint(0, 255, size=(V, H, W, 3)).astype(np.float32)
+    return depths, images, cams
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, nargs="+", default=[8, 16, 24, 40])
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=896)
+    ap.add_argument("--drop", type=float, default=0.2)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="timed full-scene fusions after the compile warm-up run")
+    ap.add_argument("--ref-chunk", type=int, default=4,
+                    help="reference cameras fused per device program "
+                         "(fusion/consistency.fuse_depth_maps ref_chunk)")
+    args = ap.parse_args()
+
+    from atvsnet_tpu.fusion.consistency import fuse_depth_maps
+
+    results = []
+    for V in args.views:
+        depths, images, cams = make_consistent_scene(V, args.height, args.width, drop=args.drop)
+        # warm-up: compiles the chunk program (one compile — shapes are constant)
+        pts, _ = fuse_depth_maps(depths, images, cams, ref_chunk=args.ref_chunk)
+        t0 = time.perf_counter()
+        for _ in range(args.repeats):
+            pts, cols = fuse_depth_maps(depths, images, cams, ref_chunk=args.ref_chunk)
+        dt = (time.perf_counter() - t0) / args.repeats
+        mpix_checks = V * (V - 1) * args.height * args.width / 1e6
+        row = {
+            "views": V,
+            "ref_chunk": args.ref_chunk,
+            "scene_fusion_s": round(dt, 3),
+            "s_per_ref": round(dt / V, 4),
+            "points": int(pts.shape[0]),
+            "Mpix_view_checks": round(mpix_checks, 1),
+            "Mchecks_per_s": round(mpix_checks / dt, 1),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"workload": f"{args.height}x{args.width}", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
