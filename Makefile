@@ -1,7 +1,13 @@
-.PHONY: test native bench clean
+.PHONY: test test-all native bench clean
 
+# fast tier: excludes the @slow e2e/golden/train tests (tests/slow_tests.txt);
+# finishes in ~2 minutes — run after every change
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "not slow" -n auto
+
+# the full suite (the judge / CI entry point)
+test-all:
+	python -m pytest tests/ -q -n auto
 
 native:
 	g++ -O3 -march=native -shared -fPIC -fopenmp \

@@ -16,3 +16,28 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# ---- fast/slow tiering (VERDICT r3 item 5) ----
+# tests/slow_tests.txt lists the nodeids measured >25s in a full-suite run; they
+# get @pytest.mark.slow at collection. `make test` runs the fast tier
+# (-m "not slow" -n auto, ~2 min), `make test-all` the full suite. A nodeid line
+# also matches as a prefix, so "tests/test_golden.py" would mark a whole module.
+_SLOW_FILE = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running e2e/golden/train tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_FILE) as f:
+            slow = [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+    except OSError:
+        return
+    for item in items:
+        nid = item.nodeid
+        if any(nid == s or nid.startswith(s) for s in slow):
+            item.add_marker(pytest.mark.slow)
