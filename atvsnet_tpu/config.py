@@ -61,6 +61,30 @@ class PipelineConfig:
     # (ops/softargmin.py, measured 1.89ms vs 2.48ms XLA at the eval shape) and XLA
     # elsewhere; "pallas"/"xla" force one.
     softargmin_impl: str = "auto"
+    # --- numerics policy (trace-scoped via atvsnet_tpu.numerics; VERDICT r3 item 2:
+    # formerly ATVSNET_* process env vars read inside traced code — moved here so
+    # they participate in jit cache keys and serving bucket identity) ---
+    # int8 activation storage for 5D volume conv_bn/deconv_bn links
+    # (nn/layers._maybe_quant_act): none|int8|int8s|int8mxu. int8s = static
+    # 6-sigma lattice fused into the BN pass; int8mxu additionally runs
+    # provenance-audited volume convs with int8 operands on the MXU's native
+    # int8 path. INFERENCE-ONLY (zero gradient through round()).
+    act_quant: str = "none"
+    # static-lattice clip range in BN-output sigmas
+    act_quant_range: float = 6.0
+    # int8 storage for bilinear plane-sweep warped feature volumes
+    # (geometry/warp._maybe_quant_warp): none|int8. Exact per-(sample, channel)
+    # scale bound from the 2D source map; independent of act_quant.
+    warp_quant: str = "none"
+    # fp32 conv MXU pass count (nn/layers._precision_for): highest (6-pass bf16
+    # expansion) | high (3-pass, ~tf32) | default (1-pass). Only affects
+    # compute_dtype="float32" runs.
+    fp32_precision: str = "highest"
+    # scoped-VMEM limit the Pallas soft-argmin sizes its blocks against (KiB);
+    # set when changing xla_tpu_scoped_vmem_limit_kib so block sizing tracks the
+    # real limit. None = the TPU compiler default (16 MiB).
+    scoped_vmem_kib: Optional[int] = None
+
     # Reproduce the reference's per-pair visual-hull camera-indexing bug: refinement
     # passes the FULL cams stack into get_visual_hull with view_num=2
     # (reference atvsnet/model.py:321-324 + homography_warping.py:344-358), so the
@@ -103,6 +127,19 @@ class PipelineConfig:
             )
         if self.view_num < 2:
             raise ValueError(f"view_num must be >= 2, got {self.view_num}")
+        self.numerics()  # validate the numerics fields eagerly
+
+    def numerics(self):
+        """The trace-scoped numerics policy for this config (atvsnet_tpu.numerics)."""
+        from atvsnet_tpu.numerics import NumericsPolicy
+
+        return NumericsPolicy(
+            act_quant=self.act_quant,
+            act_quant_range=self.act_quant_range,
+            warp_quant=self.warp_quant,
+            fp32_precision=self.fp32_precision,
+            scoped_vmem_kib=self.scoped_vmem_kib,
+        )
 
     @property
     def dtype(self) -> jnp.dtype:
