@@ -103,6 +103,8 @@ def run_eval_pc(
     write_workers: int = 2,
     gt_range: bool = False,
     full_viz: bool = False,
+    act_quant: str = "none",
+    warp_quant: str = "none",
 ) -> None:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -124,7 +126,8 @@ def run_eval_pc(
     max_h = (max_h // 32) * 32
     max_w = (max_w // 32) * 32
     cfg = PipelineConfig(
-        view_num=view_num, max_d=max_d, max_h=max_h, max_w=max_w, compute_dtype=compute_dtype
+        view_num=view_num, max_d=max_d, max_h=max_h, max_w=max_w, compute_dtype=compute_dtype,
+        act_quant=act_quant, warp_quant=warp_quant,
     )
 
     if params_path:
@@ -401,19 +404,15 @@ def main() -> None:
                     help="render the viz PNG from the 4x-upsampled map like the "
                          "reference (costs the full upsampled soft-argmin chain; "
                          "the PFM outputs are identical either way)")
-    ap.add_argument("--act-quant", default=None,
+    ap.add_argument("--act-quant", default="none",
                     choices=["none", "int8", "int8s", "int8mxu"],
                     help="int8 activation storage/compute for the volume links "
-                         "(sets ATVSNET_ACT_QUANT before tracing; accuracy-gated "
+                         "(PipelineConfig.act_quant; accuracy-gated "
                          "in tools/int8_accuracy_probe.py, inference-only)")
-    ap.add_argument("--warp-quant", default=None, choices=["none", "int8"],
-                    help="int8 storage for the warped feature volumes (sets "
-                         "ATVSNET_WARP_QUANT; independent of --act-quant)")
+    ap.add_argument("--warp-quant", default="none", choices=["none", "int8"],
+                    help="int8 storage for the warped feature volumes "
+                         "(PipelineConfig.warp_quant; independent of --act-quant)")
     args = ap.parse_args()
-    if args.act_quant:
-        os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
-    if args.warp_quant:
-        os.environ["ATVSNET_WARP_QUANT"] = args.warp_quant
     run_eval_pc(
         args.data_root, args.savepath, args.scenes,
         view_num=args.view_num, max_d=args.max_d, max_w=args.max_w, max_h=args.max_h,
@@ -421,6 +420,7 @@ def main() -> None:
         batch=args.batch, mesh=args.mesh,
         load_workers=args.load_workers, write_workers=args.write_workers,
         gt_range=args.gt_range, full_viz=args.full_viz,
+        act_quant=args.act_quant, warp_quant=args.warp_quant,
     )
 
 

@@ -21,6 +21,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from atvsnet_tpu import numerics
 from atvsnet_tpu.geometry.cameras import split_cam
 from atvsnet_tpu.geometry.homography import pixel_grid
 
@@ -181,8 +182,8 @@ def homography_warp(
 def _maybe_quant_warp(out: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
     """Optional int8 storage for plane-sweep warped feature volumes.
 
-    ATVSNET_WARP_QUANT=int8 (process-level, read at trace time; independent of
-    ATVSNET_ACT_QUANT so the two byte cuts can be A/B'd separately) stores the
+    PipelineConfig.warp_quant=int8 (trace-scoped via atvsnet_tpu/numerics.py;
+    independent of act_quant so the two byte cuts can be A/B'd separately) stores the
     (B, D, H, W, C) warped volume on a per-(sample, channel) int8 lattice. The
     scale comes from the SMALL 2D source map, not the volume: bilinear corner
     weights are convex (>= 0, sum <= 1; invalid samples are exactly 0), so
@@ -196,13 +197,7 @@ def _maybe_quant_warp(out: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
     Applied only to BILINEAR sweeps (the feature cost-volume path): the nearest
     sweeps carry depth values into the visual hull / geometric comparisons,
     where a 1/127-of-range lattice is not an acceptable error model."""
-    import os
-
-    mode = os.environ.get("ATVSNET_WARP_QUANT", "none")
-    if mode not in ("none", "int8"):
-        raise ValueError(
-            f"ATVSNET_WARP_QUANT={mode!r}: expected one of none|int8")
-    if mode == "none":
+    if numerics.current().warp_quant == "none":
         return out
     s = (
         jnp.max(jnp.abs(image.astype(jnp.float32)), axis=(1, 2), keepdims=True)

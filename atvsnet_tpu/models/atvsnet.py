@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from atvsnet_tpu import numerics
 from atvsnet_tpu.config import PipelineConfig
 from atvsnet_tpu.geometry.depth_regression import prob2depth, prob2depth_upsample
 from atvsnet_tpu.models.tvsnet import (
@@ -30,6 +31,7 @@ from atvsnet_tpu.models.tvsnet import (
 )
 
 
+@numerics.install_scope
 def multi_view_forward(
     params: dict,
     images: jnp.ndarray,

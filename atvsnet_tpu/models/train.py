@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from atvsnet_tpu import numerics
 from atvsnet_tpu.config import PipelineConfig, TrainConfig
 from atvsnet_tpu.geometry.warp import transform_depth, warp_by_depth
 from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd
@@ -120,6 +121,7 @@ def aux_view_loss(
     return jax.vmap(view_term)(depth_views, view_cams).mean()
 
 
+@numerics.install_scope
 def train_step(
     state: TrainState,
     batch: dict,

@@ -13,6 +13,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from atvsnet_tpu import numerics
 from atvsnet_tpu.config import PipelineConfig
 from atvsnet_tpu.geometry.homography import get_homographies, sweep_depths
 from atvsnet_tpu.geometry.warp import (
@@ -304,6 +305,7 @@ def tvsnet_refine(
     return refined_prob, refined_cost
 
 
+@numerics.install_scope
 def two_view_forward(params: dict, images: jnp.ndarray, cams: jnp.ndarray, cfg: PipelineConfig):
     """Monolithic two-view TVSNet (reference model.py:346-377 + example.py:239-240).
 

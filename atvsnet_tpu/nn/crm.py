@@ -96,7 +96,7 @@ def crm(params: dict, cost_volume, eps: float = 1e-3, bn_groups: int = 1):
             reordered = jnp.concatenate([w[..., Cc:, :], w[..., :Cc, :]], axis=-2)
             y = L.conv3d_mixed(reordered, warped, ref2d, stride=stride)
             y = L.batch_stat_norm(y, eps=eps, groups=bn_groups)
-            # same BN+relu volume link as cbn(): honor ATVSNET_ACT_QUANT
+            # same BN+relu volume link as cbn(): honor PipelineConfig.act_quant
             return L._maybe_quant_act(jnp.maximum(y, 0), nonneg=True)
 
         b0_1_0 = mixed("conv_b0_1_0", 2)

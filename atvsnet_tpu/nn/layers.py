@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from atvsnet_tpu import numerics
+
 _DIM_NUMBERS = {2: ("NHWC", "HWIO", "NHWC"), 3: ("NDHWC", "DHWIO", "NDHWC")}
 
 
@@ -43,21 +45,12 @@ _FP32_PRECISION = {
 
 def _precision_for(x: jnp.ndarray):
     # fp32 activations -> full-precision MXU passes by default; bf16 rides the fast
-    # path. ATVSNET_FP32_PRECISION=high|default selects a cheaper fp32 conv pass
-    # (VERDICT r2 item 10 middle path) — a PROCESS-LEVEL knob read at trace time:
-    # set it before the first jit and do not flip it mid-process (jit caches would
-    # go stale silently). bench.py --fp32-precision exposes it for measurement.
+    # path. PipelineConfig.fp32_precision=high|default selects a cheaper fp32 conv
+    # pass (VERDICT r2 item 10 middle path), delivered via the trace-scoped
+    # numerics policy the model entry points install (atvsnet_tpu/numerics.py) —
+    # the enclosing jit keys on the config, so distinct settings cache distinctly.
     if x.dtype == jnp.float32:
-        import os
-
-        name = os.environ.get("ATVSNET_FP32_PRECISION", "highest").lower()
-        try:
-            return _FP32_PRECISION[name]
-        except KeyError:
-            raise ValueError(
-                f"ATVSNET_FP32_PRECISION={name!r} is not one of "
-                f"{sorted(_FP32_PRECISION)}"
-            ) from None
+        return _FP32_PRECISION[numerics.current().fp32_precision]
     return lax.Precision.DEFAULT
 
 
@@ -204,9 +197,7 @@ def _quant_conv_operands(x: jnp.ndarray, w: jnp.ndarray):
     (x_int8, w_int8, output_scale): conv(x_int8, w_int8) accumulates in int32 and
     output_scale restores the float magnitude, so non-BN consumers (prob heads,
     residual adds, the conv3d_mixed 2D half) stay numerically correct."""
-    import os
-
-    r = float(os.environ.get("ATVSNET_ACT_QUANT_RANGE", "6.0"))
+    r = numerics.current().act_quant_range
     si = r / 127.0
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / si), -127.0, 127.0).astype(jnp.int8)
     wf = w.astype(jnp.float32)
@@ -229,7 +220,7 @@ def conv(
 
     qin ("quantized input ok"): the CALLER asserts this conv's input is a stored
     activation-lattice link (or a small sum/concat/convex mix of such — see the
-    crm/refine/aam call sites). Under ATVSNET_ACT_QUANT=int8mxu such convs run
+    crm/refine/aam call sites). Under PipelineConfig.act_quant=int8mxu such convs run
     with int8 operands on the MXU's native int8 path: the input re-quantize fuses
     into the link's int8 producer chain so the conv READS 1-byte operands (the
     tap-stack materializes at 1 byte/elem too) instead of dequantized bf16.
@@ -341,25 +332,17 @@ def batch_stat_norm(
     return y.astype(x.dtype).reshape(orig_shape)
 
 
-_ACT_QUANT_MODES = ("none", "int8", "int8s", "int8mxu")
-
-
 def _act_quant_mode() -> str:
-    """ATVSNET_ACT_QUANT, validated. Process-level, read at trace time."""
-    import os
-
-    mode = os.environ.get("ATVSNET_ACT_QUANT", "none")
-    if mode not in _ACT_QUANT_MODES:
-        raise ValueError(
-            f"ATVSNET_ACT_QUANT={mode!r}: expected one of {'|'.join(_ACT_QUANT_MODES)}")
-    return mode
+    """PipelineConfig.act_quant via the trace-scoped numerics policy (validated
+    at policy construction, atvsnet_tpu/numerics.py)."""
+    return numerics.current().act_quant
 
 
 def _maybe_quant_act(y: jnp.ndarray, nonneg: bool = False) -> jnp.ndarray:
     """Optional int8 activation storage for 5D (plane-sweep volume) conv_bn links.
 
-    ATVSNET_ACT_QUANT (process-level knob, read at trace time like
-    ATVSNET_FP32_PRECISION — set before the first jit) round-trips every volume
+    PipelineConfig.act_quant (trace-scoped via atvsnet_tpu/numerics.py — part of
+    the jit cache key) round-trips every volume
     conv_bn/deconv_bn output through an int8 lattice. The int8 tensor is the only
     fusion root XLA has to keep in HBM; the dequantize (convert * scale) is a
     cheap elementwise chain that duplicates into each consumer fusion, so volume
@@ -372,7 +355,7 @@ def _maybe_quant_act(y: jnp.ndarray, nonneg: bool = False) -> jnp.ndarray:
              roughly byte-neutral vs bf16 storage; kept for accuracy reference.
       int8s  STATIC scale. batch_stat_norm output is unit-variance per channel
              by construction (no learned gamma), so a fixed clip range R sigma
-             (ATVSNET_ACT_QUANT_RANGE, default 6.0) needs no data pass: the
+             (PipelineConfig.act_quant_range, default 6.0) needs no data pass: the
              quantize fuses into the BN normalize pass and the link is written
              once at 1 byte/elem. relu links store uint8 over [0, R] (255
              levels); signed links store int8 over [-R, R].
@@ -394,8 +377,6 @@ def _maybe_quant_act(y: jnp.ndarray, nonneg: bool = False) -> jnp.ndarray:
     zero every volume-link gradient under jax.grad. cli/train.py never reads
     it; do not set it for training runs.
     """
-    import os
-
     mode = _act_quant_mode()
     if y.ndim != 5 or mode == "none":
         return y
@@ -404,7 +385,7 @@ def _maybe_quant_act(y: jnp.ndarray, nonneg: bool = False) -> jnp.ndarray:
         s = jnp.max(jnp.abs(yf)) / 127.0 + 1e-12
         q = jnp.clip(jnp.round(yf / s), -127.0, 127.0).astype(jnp.int8)
         return (q.astype(jnp.float32) * s).astype(y.dtype)
-    r = float(os.environ.get("ATVSNET_ACT_QUANT_RANGE", "6.0"))
+    r = numerics.current().act_quant_range
     if nonneg:
         s = r / 255.0
         q = jnp.clip(jnp.round(yf / s), 0.0, 255.0).astype(jnp.uint8)

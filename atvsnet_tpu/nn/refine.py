@@ -94,7 +94,7 @@ def refine_net(
             axis=-2,
         )
         y = L.conv3d_mixed(w_eff, vary, const2d, stride=1)
-        # same BN+relu volume-link class as the other entries: honor ATVSNET_ACT_QUANT
+        # same BN+relu volume-link class as the other entries: honor PipelineConfig.act_quant
         geo = L._maybe_quant_act(
             jnp.maximum(L.batch_stat_norm(y, eps=eps, groups=bn_groups), 0), nonneg=True
         )

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
+import inspect
 import threading
 
 ACT_QUANT_MODES = ("none", "int8", "int8s", "int8mxu")
@@ -74,3 +76,21 @@ def scope(policy: NumericsPolicy):
         yield
     finally:
         _state.policy = prev
+
+
+def install_scope(fn):
+    """Decorator for model entry points: run `fn` under the numerics policy of
+    its `cfg` argument (a PipelineConfig). jit tracing happens on the calling
+    thread inside the call, so every leaf primitive the body reaches —
+    including lax.scan/vmap bodies and value_and_grad — sees the policy.
+    Soundness relies on the ENCLOSING jit keying on cfg (closure identity or
+    static arg), which every driver/serving bucket does."""
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        cfg = sig.bind(*args, **kwargs).arguments["cfg"]
+        with scope(cfg.numerics()):
+            return fn(*args, **kwargs)
+
+    return wrapper

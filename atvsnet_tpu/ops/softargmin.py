@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from atvsnet_tpu import numerics
+
 
 def _kernel(cost_ref, sweep_ref, out_ref):
     cost = cost_ref[...][0].astype(jnp.float32)        # (D, bh, W)
@@ -38,13 +40,11 @@ def _vmem_budget() -> float:
     Defaults to the TPU compiler's default 16MB scoped-vmem limit minus headroom.
     If the limit is changed (e.g. jit compiler_options
     xla_tpu_scoped_vmem_limit_kib, exposed by bench.py --xla-option), set
-    ATVSNET_SCOPED_VMEM_KIB to the same value so the kernel's block sizing
-    tracks the real limit.
+    PipelineConfig.scoped_vmem_kib to the same value so the kernel's block
+    sizing tracks the real limit (trace-scoped via atvsnet_tpu/numerics.py).
     """
-    import os
-
-    kib = os.environ.get("ATVSNET_SCOPED_VMEM_KIB")
-    limit = int(kib) * 1024 if kib else 16 * 1024 * 1024
+    kib = numerics.current().scoped_vmem_kib
+    limit = kib * 1024 if kib else 16 * 1024 * 1024
     return limit - 512 * 1024  # headroom for Mosaic bookkeeping
 
 
@@ -62,8 +62,8 @@ def _block_rows(h: int, D: int, w: int, target: int = 16):
     version can shift the true footprint; the failure mode of an over-budget block
     is a COMPILE-TIME Mosaic error (never silent wrong results), and the 512K
     headroom in _vmem_budget absorbs small drift. If the limit is raised via
-    xla_tpu_scoped_vmem_limit_kib, set ATVSNET_SCOPED_VMEM_KIB to match (the env
-    var is read at trace time, so set it before the first jit of the kernel).
+    xla_tpu_scoped_vmem_limit_kib, set PipelineConfig.scoped_vmem_kib to match
+    (delivered to this sizing pass via the trace-scoped numerics policy).
     """
     w_pad = -(-w // 128) * 128
     candidates = [t for t in range(min(target, h), 0, -1) if h % t == 0 and t % 8 == 0]
@@ -76,18 +76,24 @@ def _block_rows(h: int, D: int, w: int, target: int = 16):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
 def softargmin_pallas(
     cost_volume: jnp.ndarray,
     sweep: jnp.ndarray,
+    bh: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """cost_volume (B, D, h, w), sweep (B, D) -> depth (B, h, w, 1) fp32.
 
     Equivalent to geometry.depth_regression.prob2depth(..., out_prob_map=False).
+    `bh` is the VMEM row-block size; callers under a numerics scope compute it
+    OUTSIDE this jit (softargmin() below) so the policy's scoped_vmem_kib feeds
+    the cache key as a static arg — a policy flip can never reuse a stale
+    program here. bh=None (direct/test calls) sizes against the active policy.
     """
     B, D, h, w = cost_volume.shape
-    bh = _block_rows(h, D, w)
+    if bh is None:
+        bh = _block_rows(h, D, w)
     assert bh is not None, "caller must route to the XLA formula when no block fits"
     grid = (B, h // bh)
 
@@ -111,18 +117,18 @@ def _softargmin_xla(cost_volume: jnp.ndarray, sweep: jnp.ndarray) -> jnp.ndarray
     return jnp.sum(sweep[:, :, None, None] * p, axis=1)[..., None]
 
 
-@jax.custom_vjp
-def softargmin_fused(cost_volume: jnp.ndarray, sweep: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def softargmin_fused(cost_volume: jnp.ndarray, sweep: jnp.ndarray, bh: int) -> jnp.ndarray:
     """Pallas forward with an XLA-derived exact backward (pallas_call itself is not
     differentiable); the vjp recomputes the softmax, which only training pays."""
-    return softargmin_pallas(cost_volume, sweep)
+    return softargmin_pallas(cost_volume, sweep, bh=bh)
 
 
-def _fused_fwd(cost_volume, sweep):
-    return softargmin_pallas(cost_volume, sweep), (cost_volume, sweep)
+def _fused_fwd(cost_volume, sweep, bh):
+    return softargmin_pallas(cost_volume, sweep, bh=bh), (cost_volume, sweep)
 
 
-def _fused_bwd(res, g):
+def _fused_bwd(bh, res, g):
     cost_volume, sweep = res
     _, vjp = jax.vjp(_softargmin_xla, cost_volume, sweep)
     return vjp(g)
@@ -146,10 +152,11 @@ def softargmin(
     steps = jnp.arange(depth_num, dtype=jnp.float32)
     sweep = depth_start.astype(jnp.float32)[:, None] + steps[None] * depth_interval.astype(jnp.float32)[:, None]
     B, D, h, w = cost_volume.shape
-    if _block_rows(h, D, w) is None:
+    bh = _block_rows(h, D, w)  # sized against the ACTIVE numerics policy, pre-jit
+    if bh is None:
         # shape too wide for the kernel's VMEM envelope (e.g. 4x-upsampled rows of
         # very wide inputs) — the XLA formula handles it
         return _softargmin_xla(cost_volume, sweep)
     if interpret:
-        return softargmin_pallas(cost_volume, sweep, interpret=True)
-    return softargmin_fused(cost_volume, sweep)
+        return softargmin_pallas(cost_volume, sweep, bh=bh, interpret=True)
+    return softargmin_fused(cost_volume, sweep, bh)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from atvsnet_tpu import numerics
 from atvsnet_tpu.config import PipelineConfig
 from atvsnet_tpu.geometry.depth_regression import prob2depth, prob2depth_upsample
 from atvsnet_tpu.models.tvsnet import (
@@ -27,6 +28,7 @@ from atvsnet_tpu.models.tvsnet import (
 )
 
 
+@numerics.install_scope
 def multi_view_forward_spmd(
     params: dict,
     images: jnp.ndarray,

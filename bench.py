@@ -33,10 +33,7 @@ H, W, D = 480, 896, 128
 
 
 def _inputs(view_num: int = VIEW_NUM):
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests._utils import synthetic_scene
+    from atvsnet_tpu.data.synthetic import synthetic_scene
 
     images, cams = synthetic_scene(view_num=view_num, H=H, W=W, D=D, seed=0)
     return images, cams
@@ -50,6 +47,9 @@ def measure(
     pair_batch: bool = False,
     view_num: int = VIEW_NUM,
     batch: int = 1,
+    act_quant: str = "none",
+    warp_quant: str = "none",
+    fp32_precision: str = "highest",
 ):
     import jax
     import jax.numpy as jnp
@@ -61,6 +61,7 @@ def measure(
     cfg = PipelineConfig(
         view_num=view_num, max_d=D, max_h=H, max_w=W, compute_dtype=compute_dtype,
         pair_batch=pair_batch,
+        act_quant=act_quant, warp_quant=warp_quant, fp32_precision=fp32_precision,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     images, cams = _inputs(view_num)
@@ -115,24 +116,21 @@ def main() -> None:
                          "B=1 is the measured sweet spot on v5e SINCE the warp "
                          "corner-lerp fusion: 2.81/2.51 maps/s at B=1/2 bf16 "
                          "(before it, B=2 won: 2.374/2.470/2.030 at B=1/2/4)")
-    ap.add_argument("--fp32-precision", default=None, choices=["highest", "high", "default"],
+    ap.add_argument("--fp32-precision", default="highest", choices=["highest", "high", "default"],
                     help="fp32 conv MXU pass count (nn/layers._precision_for); "
                          "only meaningful with --dtype float32")
-    ap.add_argument("--act-quant", default=None, choices=["none", "int8", "int8s", "int8mxu"],
+    ap.add_argument("--act-quant", default="int8s", choices=["none", "int8", "int8s", "int8mxu"],
                     help="int8 activation storage on 5D volume conv_bn links "
                          "(nn/layers._maybe_quant_act; accuracy measured in "
-                         "tools/int8_accuracy_probe.py)")
-    ap.add_argument("--warp-quant", default=None, choices=["none", "int8"],
+                         "tools/int8_accuracy_probe.py). Default int8s: the r4 TPU "
+                         "sweep's fastest accuracy-cleared mode (with --warp-quant "
+                         "int8): 2.8921 vs 2.8361 bf16 maps/s; int8mxu measured "
+                         "SLOWER (2.5714) — see ROUND4.md")
+    ap.add_argument("--warp-quant", default="int8", choices=["none", "int8"],
                     help="int8 storage for the bilinear plane-sweep warped volumes "
                          "(geometry/warp._maybe_quant_warp; exact per-channel scale "
                          "bound from the 2D source map, independent of --act-quant)")
     args = ap.parse_args()
-    if args.fp32_precision:
-        os.environ["ATVSNET_FP32_PRECISION"] = args.fp32_precision
-    if args.act_quant:
-        os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
-    if args.warp_quant:
-        os.environ["ATVSNET_WARP_QUANT"] = args.warp_quant
     xla_options = dict(kv.split("=", 1) for kv in args.xla_option)
 
     import jax
@@ -144,6 +142,8 @@ def main() -> None:
     dm_per_s = measure(
         dev, args.dtype, args.iters, xla_options=xla_options,
         pair_batch=args.pair_batch, view_num=args.view_num, batch=args.batch,
+        act_quant=args.act_quant, warp_quant=args.warp_quant,
+        fp32_precision=args.fp32_precision,
     )
 
     baseline = None
@@ -174,6 +174,8 @@ def main() -> None:
                         f"{args.dtype}, batch={args.batch})",
                 "vs_baseline": round(dm_per_s / baseline, 2),
                 "dtype": args.dtype,
+                "act_quant": args.act_quant,
+                "warp_quant": args.warp_quant,
             }
         )
     )

@@ -164,11 +164,13 @@ class TestWarps:
             single = np.asarray(homography_warp(jnp.asarray(img), H[:, d]))
             np.testing.assert_allclose(vol[:, d], single, atol=1e-6)
 
-    def test_warp_quant_int8_storage(self, monkeypatch):
-        """ATVSNET_WARP_QUANT=int8: bilinear sweeps store on a per-(sample,channel)
-        int8 lattice scaled by the SOURCE map's max-abs (an exact no-clip bound —
-        bilinear weights are convex), zeros stay exactly zero, nearest sweeps are
-        untouched, and the unset env is bit-identical."""
+    def test_warp_quant_int8_storage(self):
+        """warp_quant=int8 (numerics scope): bilinear sweeps store on a
+        per-(sample,channel) int8 lattice scaled by the SOURCE map's max-abs (an
+        exact no-clip bound — bilinear weights are convex), zeros stay exactly
+        zero, nearest sweeps are untouched, the default policy is bit-identical."""
+        from atvsnet_tpu import numerics
+
         rng = np.random.RandomState(7)
         img = (rng.rand(2, 12, 16, 4).astype(np.float32) - 0.3) * 5.0
         cam_l = make_cam(K0, np.eye(3), np.zeros(3))
@@ -180,9 +182,9 @@ class TestWarps:
         base = np.asarray(plane_sweep_warp(jnp.asarray(img), H))
         base_n = np.asarray(plane_sweep_warp(jnp.asarray(img), H, method="nearest"))
 
-        monkeypatch.setenv("ATVSNET_WARP_QUANT", "int8")
-        q = np.asarray(plane_sweep_warp(jnp.asarray(img), H))
-        q_n = np.asarray(plane_sweep_warp(jnp.asarray(img), H, method="nearest"))
+        with numerics.scope(numerics.NumericsPolicy(warp_quant="int8")):
+            q = np.asarray(plane_sweep_warp(jnp.asarray(img), H))
+            q_n = np.asarray(plane_sweep_warp(jnp.asarray(img), H, method="nearest"))
 
         # nearest (depth-carrying) sweeps never quantize
         np.testing.assert_array_equal(base_n, q_n)
@@ -197,11 +199,9 @@ class TestWarps:
         assert np.abs(base - q).max() <= s.max() * 0.51 + 1e-6
         assert np.array_equal(q[base == 0.0], np.zeros_like(q[base == 0.0]))
 
-        monkeypatch.setenv("ATVSNET_WARP_QUANT", "bogus")
-        with pytest.raises(ValueError, match="ATVSNET_WARP_QUANT"):
-            plane_sweep_warp(jnp.asarray(img), H)
+        with pytest.raises(ValueError, match="warp_quant"):
+            numerics.NumericsPolicy(warp_quant="bogus")
 
-        monkeypatch.delenv("ATVSNET_WARP_QUANT")
         np.testing.assert_array_equal(base, np.asarray(plane_sweep_warp(jnp.asarray(img), H)))
 
     def test_transform_depth_consistency(self):

@@ -266,23 +266,34 @@ class TestConvInputStacked:
         np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=1e-4)
 
 
-def test_fp32_precision_env_validation(monkeypatch):
-    """A typo'd ATVSNET_FP32_PRECISION raises a ValueError naming the knob and the
-    valid choices, not a bare KeyError from inside conv tracing (review finding)."""
+def test_fp32_precision_policy_validation():
+    """A typo'd fp32_precision raises a ValueError naming the knob and the valid
+    choices at POLICY CONSTRUCTION (config validation), never from inside conv
+    tracing; a valid non-default setting reaches _precision_for via the scope."""
     import pytest
 
-    monkeypatch.setenv("ATVSNET_FP32_PRECISION", "hi")
+    from atvsnet_tpu import numerics
+    from atvsnet_tpu.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="fp32_precision"):
+        numerics.NumericsPolicy(fp32_precision="hi")
+    with pytest.raises(ValueError, match="fp32_precision"):
+        PipelineConfig(fp32_precision="hi")
+
     x = jnp.ones((1, 4, 4, 2), jnp.float32)
-    with pytest.raises(ValueError, match="ATVSNET_FP32_PRECISION"):
-        L._precision_for(x)
-    monkeypatch.setenv("ATVSNET_FP32_PRECISION", "high")
-    assert L._precision_for(x) is not None
+    default = L._precision_for(x)
+    with numerics.scope(numerics.NumericsPolicy(fp32_precision="high")):
+        assert L._precision_for(x) is not None
+        assert L._precision_for(x) != default
 
 
-def test_act_quant_int8_volume_links(monkeypatch):
-    """ATVSNET_ACT_QUANT=int8 stores 5D conv_bn outputs on a dynamically scaled
-    int8 lattice (<=255 distinct values, relu outputs >=0) and leaves 4D (image
-    feature) links untouched; default env leaves everything bit-identical."""
+def test_act_quant_int8_volume_links():
+    """act_quant=int8 (via the numerics scope) stores 5D conv_bn outputs on a
+    dynamically scaled int8 lattice (<=255 distinct values, relu outputs >=0) and
+    leaves 4D (image feature) links untouched; the default policy leaves
+    everything bit-identical."""
+    from atvsnet_tpu import numerics
+
     rng = np.random.RandomState(0)
     p = {"w": jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32) * 0.2)}
     x5 = jnp.asarray(rng.rand(1, 8, 16, 16, 4).astype(np.float32))
@@ -292,9 +303,9 @@ def test_act_quant_int8_volume_links(monkeypatch):
     base5 = np.asarray(L.conv_bn(p, x5))
     base4 = np.asarray(L.conv_bn(p2, x4))
 
-    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8")
-    q5 = np.asarray(L.conv_bn(p, x5))
-    q4 = np.asarray(L.conv_bn(p2, x4))
+    with numerics.scope(numerics.NumericsPolicy(act_quant="int8")):
+        q5 = np.asarray(L.conv_bn(p, x5))
+        q4 = np.asarray(L.conv_bn(p2, x4))
 
     assert np.array_equal(base4, q4), "4D links must not be quantized"
     assert not np.array_equal(base5, q5)
@@ -307,15 +318,16 @@ def test_act_quant_int8_volume_links(monkeypatch):
     # and the round-trip error is bounded by half a lattice step
     assert np.max(np.abs(base5 - q5)) <= s * 0.51 + 1e-6
 
-    monkeypatch.delenv("ATVSNET_ACT_QUANT")
     back = np.asarray(L.conv_bn(p, x5))
     np.testing.assert_array_equal(base5, back)
 
 
-def test_act_quant_int8s_static_lattice(monkeypatch):
+def test_act_quant_int8s_static_lattice():
     """int8s: static 6-sigma lattice, no data-dependent scale. relu links use the
     255-level non-negative lattice (step 6/255); non-relu links the signed
-    127-level one (step 6/127). Unknown env values raise."""
+    127-level one (step 6/127). Unknown modes raise at policy construction."""
+    from atvsnet_tpu import numerics
+
     rng = np.random.RandomState(1)
     p = {"w": jnp.asarray(rng.randn(3, 3, 3, 4, 4).astype(np.float32) * 0.2)}
     x5 = jnp.asarray(rng.rand(1, 8, 16, 16, 4).astype(np.float32))
@@ -323,9 +335,9 @@ def test_act_quant_int8s_static_lattice(monkeypatch):
     base_r = np.asarray(L.conv_bn(p, x5, relu=True))
     base_n = np.asarray(L.conv_bn(p, x5, relu=False))
 
-    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8s")
-    q_r = np.asarray(L.conv_bn(p, x5, relu=True))
-    q_n = np.asarray(L.conv_bn(p, x5, relu=False))
+    with numerics.scope(numerics.NumericsPolicy(act_quant="int8s")):
+        q_r = np.asarray(L.conv_bn(p, x5, relu=True))
+        q_n = np.asarray(L.conv_bn(p, x5, relu=False))
 
     s_r, s_n = 6.0 / 255.0, 6.0 / 127.0
     k_r, k_n = q_r / s_r, q_n / s_n
@@ -340,18 +352,16 @@ def test_act_quant_int8s_static_lattice(monkeypatch):
     # the relu lattice is 2x finer than the signed one
     assert s_r < s_n
 
-    monkeypatch.setenv("ATVSNET_ACT_QUANT_RANGE", "4.0")
-    q_r4 = np.asarray(L.conv_bn(p, x5, relu=True))
+    with numerics.scope(numerics.NumericsPolicy(act_quant="int8s", act_quant_range=4.0)):
+        q_r4 = np.asarray(L.conv_bn(p, x5, relu=True))
     k4 = q_r4 / (4.0 / 255.0)
     np.testing.assert_allclose(k4, np.round(k4), atol=1e-3)
-    monkeypatch.delenv("ATVSNET_ACT_QUANT_RANGE")
 
-    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8x")
-    with pytest.raises(ValueError, match="ATVSNET_ACT_QUANT"):
-        L.conv_bn(p, x5)
+    with pytest.raises(ValueError, match="act_quant"):
+        numerics.NumericsPolicy(act_quant="int8x")
 
 
-def test_act_quant_int8mxu_integer_conv_path(monkeypatch):
+def test_act_quant_int8mxu_integer_conv_path():
     """int8mxu = int8s storage + real int8 convs at qin=True call sites.
 
     - storage is identical to int8s (qin=False conv_bn outputs match bit-for-bit);
@@ -368,17 +378,19 @@ def test_act_quant_int8mxu_integer_conv_path(monkeypatch):
     p4 = {"w": jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32) * 0.2)}
     x4 = jnp.asarray(rng.rand(1, 16, 16, 4).astype(np.float32))
 
+    from atvsnet_tpu import numerics
+
     base_bn = np.asarray(L.conv_bn(p, x5, qin=True))
     base_raw = np.asarray(L.conv(x5, p["w"]))
     base_4d = np.asarray(L.conv_bn(p4, x4, qin=True))
 
-    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8s")
-    q_store = np.asarray(L.conv_bn(p, x5, qin=False))
-    monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8mxu")
-    q_store_mxu = np.asarray(L.conv_bn(p, x5, qin=False))
-    q_bn = np.asarray(L.conv_bn(p, x5, qin=True))
-    q_raw = np.asarray(L.conv(x5, p["w"], qin=True))
-    q_4d = np.asarray(L.conv_bn(p4, x4, qin=True))
+    with numerics.scope(numerics.NumericsPolicy(act_quant="int8s")):
+        q_store = np.asarray(L.conv_bn(p, x5, qin=False))
+    with numerics.scope(numerics.NumericsPolicy(act_quant="int8mxu")):
+        q_store_mxu = np.asarray(L.conv_bn(p, x5, qin=False))
+        q_bn = np.asarray(L.conv_bn(p, x5, qin=True))
+        q_raw = np.asarray(L.conv(x5, p["w"], qin=True))
+        q_4d = np.asarray(L.conv_bn(p4, x4, qin=True))
 
     # storage identical to int8s when the conv stays float
     np.testing.assert_array_equal(q_store, q_store_mxu)
@@ -390,8 +402,8 @@ def test_act_quant_int8mxu_integer_conv_path(monkeypatch):
     rel = np.abs(base_raw - q_raw).max() / (np.abs(base_raw).max() + 1e-9)
     assert rel < 0.05
     # the compiled program really contains an integer conv
-    hlo = jax.jit(lambda a: L.conv(a, p["w"], qin=True)).lower(x5).as_text()
+    with numerics.scope(numerics.NumericsPolicy(act_quant="int8mxu")):
+        hlo = jax.jit(lambda a: L.conv(a, p["w"], qin=True)).lower(x5).as_text()
     assert "xi8>" in hlo and "xi32>" in hlo, "expected int8 operands / int32 accumulation"
 
-    monkeypatch.delenv("ATVSNET_ACT_QUANT")
     np.testing.assert_array_equal(base_bn, np.asarray(L.conv_bn(p, x5, qin=True)))

@@ -50,14 +50,16 @@ class TestSPMDForward:
             rtol=5e-4, atol=5e-5,
         )
 
-    def test_matches_scan_pipeline_act_quant(self, params, scene, monkeypatch):
-        """SPMD == scan under ATVSNET_ACT_QUANT too (both pipelines route through
+    def test_matches_scan_pipeline_act_quant(self, params, scene):
+        """SPMD == scan under act_quant too (both pipelines route through
         the same nn modules, so the quantized-link ops must not drift between
-        them the way the softargmin impl once did — VERDICT r2 item 3)."""
+        them the way the softargmin impl once did — VERDICT r2 item 3). The
+        quant mode arrives via PipelineConfig — the entry points install the
+        numerics scope themselves."""
         images, cams = scene
-        monkeypatch.setenv("ATVSNET_ACT_QUANT", "int8mxu")
-        out_scan = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, CFG))(params, images, cams)
-        out_vmap = jax.jit(lambda p, i, c: multi_view_forward_spmd(p, i, c, CFG))(params, images, cams)
+        cfg = CFG.replace(act_quant="int8mxu")
+        out_scan = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg))(params, images, cams)
+        out_vmap = jax.jit(lambda p, i, c: multi_view_forward_spmd(p, i, c, cfg))(params, images, cams)
         np.testing.assert_allclose(
             np.asarray(out_scan["depth"]), np.asarray(out_vmap["depth"]), rtol=5e-4, atol=5e-5
         )

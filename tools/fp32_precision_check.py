@@ -1,11 +1,11 @@
 """fp32 conv precision middle path: accuracy on TPU at HIGHEST / HIGH / DEFAULT.
 
 VERDICT r2 item 10. Runs the mv5_64 golden case (tools/make_golden.py) on the
-current default device once per ATVSNET_FP32_PRECISION setting (each in a fresh
-subprocess — the knob is process-level, nn/layers._precision_for) and reports the
-depth-map deltas of high/default vs the highest-precision run, plus highest vs the
-committed CPU golden for scale. Pair with `bench.py --dtype float32
---fp32-precision ...` for the speed side.
+current default device once per PipelineConfig.fp32_precision setting (fresh
+subprocesses keep the compile caches apart) and reports the depth-map deltas of
+high/default vs the highest-precision run, plus highest vs the committed CPU
+golden for scale. Pair with `bench.py --dtype float32 --fp32-precision ...` for
+the speed side.
 
 Run: python tools/fp32_precision_check.py
 """
@@ -20,7 +20,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def child(precision: str, out_path: str) -> None:
-    os.environ["ATVSNET_FP32_PRECISION"] = precision
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -30,7 +29,8 @@ def child(precision: str, out_path: str) -> None:
     from atvsnet_tpu.models.tvsnet import init_params
     from atvsnet_tpu.data.synthetic import synthetic_scene
 
-    cfg = PipelineConfig(view_num=5, max_d=16, max_h=64, max_w=64, compute_dtype="float32")
+    cfg = PipelineConfig(view_num=5, max_d=16, max_h=64, max_w=64,
+                         compute_dtype="float32", fp32_precision=precision)
     params = init_params(jax.random.PRNGKey(0), cfg)
     images, cams = synthetic_scene(view_num=5, H=64, W=64, D=16, seed=7)
     out = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg))(
@@ -48,11 +48,9 @@ def main() -> None:
     with tempfile.TemporaryDirectory() as td:
         for prec in ("highest", "high", "default"):
             path = os.path.join(td, prec + ".npz")
-            env = dict(os.environ)
-            env["ATVSNET_FP32_PRECISION"] = prec
             rc = subprocess.call(
                 [sys.executable, os.path.abspath(__file__), "--child", prec, path],
-                env=env, cwd=repo,
+                cwd=repo,
             )
             if rc != 0:
                 raise RuntimeError(f"child {prec} failed rc={rc}")

@@ -54,7 +54,7 @@ def main() -> None:
     )
     ap.add_argument(
         "--mode", default="int8", choices=["none", "int8", "int8s", "int8w", "int8mxu"],
-        help="volumes scope only: which production ATVSNET_ACT_QUANT mode to "
+        help="volumes scope only: which production PipelineConfig.act_quant mode to "
         "measure (int8 = dynamic per-tensor scale, int8s = static 6-sigma "
         "lattice, uint8 on relu links — see nn/layers._maybe_quant_act). "
         "int8w = int8s activations PLUS per-tensor symmetric int8 conv/deconv "
@@ -96,8 +96,8 @@ def main() -> None:
         view_num=args.views, H=args.h, W=args.w, D=args.d, seed=0
     )
 
-    def run():
-        out = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, cfg))(
+    def run(run_cfg=cfg):
+        out = jax.jit(lambda p, i, c: multi_view_forward(p, i, c, run_cfg))(
             params, images, cams
         )
         return {k: np.asarray(out[k], np.float64) for k in ("depth", "depth_up")}
@@ -138,25 +138,18 @@ def main() -> None:
             return orig_deconv_bn(p, x, **kw)
 
         L.conv_bn, L.deconv_bn = conv_bn_w, deconv_bn_w
-        os.environ["ATVSNET_ACT_QUANT"] = "int8s"
         try:
-            quant = run()
+            quant = run(cfg.replace(act_quant="int8s"))
         finally:
             L.conv_bn, L.deconv_bn = orig_conv_bn, orig_deconv_bn
-            os.environ.pop("ATVSNET_ACT_QUANT", None)
     elif args.scope == "volumes":
         # measure the PRODUCTION path (nn/layers._maybe_quant_act) exactly as
         # bench.py --act-quant runs it, including int8s's uint8 relu links;
         # --warp-quant composes (or measures alone with --mode none)
-        if args.mode != "none":
-            os.environ["ATVSNET_ACT_QUANT"] = args.mode
-        if args.warp_quant:
-            os.environ["ATVSNET_WARP_QUANT"] = args.warp_quant
-        try:
-            quant = run()
-        finally:
-            os.environ.pop("ATVSNET_ACT_QUANT", None)
-            os.environ.pop("ATVSNET_WARP_QUANT", None)
+        quant = run(cfg.replace(
+            act_quant=args.mode if args.mode != "none" else "none",
+            warp_quant=args.warp_quant or "none",
+        ))
     else:
         L.conv_bn, L.deconv_bn = conv_bn_q, deconv_bn_q
         # crm/refine/aam bind `L` at module level and call L.conv_bn dynamically,

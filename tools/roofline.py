@@ -48,10 +48,6 @@ def main() -> None:
         "(geometry/warp._maybe_quant_warp), independent of --act-quant",
     )
     args = ap.parse_args()
-    if args.act_quant:
-        os.environ["ATVSNET_ACT_QUANT"] = args.act_quant
-    if args.warp_quant:
-        os.environ["ATVSNET_WARP_QUANT"] = args.warp_quant
 
     from atvsnet_tpu.utils.runtime import setup_jax
 
@@ -68,6 +64,7 @@ def main() -> None:
     cfg = PipelineConfig(
         view_num=args.view_num, max_d=bench.D, max_h=bench.H, max_w=bench.W,
         compute_dtype=args.dtype,
+        act_quant=args.act_quant or "none", warp_quant=args.warp_quant or "none",
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     images, cams = bench._inputs(args.view_num)
