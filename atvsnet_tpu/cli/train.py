@@ -168,8 +168,16 @@ def main() -> None:
     os.makedirs(os.path.dirname(args.ckpt) or ".", exist_ok=True)
     t0 = time.time()
     start = int(state.step)
+    # one-deep host prefetch: the synthetic renders / file loads are pure-host
+    # work that would otherwise stall the device between steps
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pending = pool.submit(next_batch)
     for i in range(start, args.steps):
-        batch = {k: jnp.asarray(v) for k, v in next_batch().items()}
+        host_batch = pending.result()
+        pending = pool.submit(next_batch)
+        batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
         state, metrics = step_fn(state, batch)
         if (i + 1) % args.log_every == 0:
             loss = float(metrics["loss"])

@@ -203,17 +203,6 @@ def _fuse_one_ref_impl(
 
 
 @partial(jax.jit, static_argnames=("disp_thresh", "num_consistent", "normal_thresh_rad"))
-def _fuse_one_ref(ref_idx, depths, images, P, M_inv, centers, f,
-                  disp_thresh, num_consistent, normals=None,
-                  normal_thresh_rad=float(np.pi * 2)):
-    """Single-reference fusion pass (kept for tests / oracle comparisons)."""
-    return _fuse_one_ref_impl(
-        ref_idx, depths, images, P, M_inv, centers, f,
-        disp_thresh, num_consistent, normals, normal_thresh_rad,
-    )
-
-
-@partial(jax.jit, static_argnames=("disp_thresh", "num_consistent", "normal_thresh_rad"))
 def _fuse_ref_chunk(ref_idxs, depths, images, P, M_inv, centers, f,
                     disp_thresh, num_consistent, normals=None,
                     normal_thresh_rad=float(np.pi * 2)):

@@ -76,7 +76,6 @@ def _block_rows(h: int, D: int, w: int, target: int = 16):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
 def softargmin_pallas(
     cost_volume: jnp.ndarray,
     sweep: jnp.ndarray,
@@ -86,15 +85,26 @@ def softargmin_pallas(
     """cost_volume (B, D, h, w), sweep (B, D) -> depth (B, h, w, 1) fp32.
 
     Equivalent to geometry.depth_regression.prob2depth(..., out_prob_map=False).
-    `bh` is the VMEM row-block size; callers under a numerics scope compute it
-    OUTSIDE this jit (softargmin() below) so the policy's scoped_vmem_kib feeds
-    the cache key as a static arg — a policy flip can never reuse a stale
-    program here. bh=None (direct/test calls) sizes against the active policy.
-    """
-    B, D, h, w = cost_volume.shape
+    `bh` is the VMEM row-block size. bh=None resolves it against the ACTIVE
+    numerics policy here, OUTSIDE the jit below, so scoped_vmem_kib always
+    enters the cache as the resolved static `bh` — a policy flip can never
+    reuse a stale program, whether callers pass bh (softargmin() does) or not
+    (direct/test calls)."""
     if bh is None:
+        B, D, h, w = cost_volume.shape
         bh = _block_rows(h, D, w)
     assert bh is not None, "caller must route to the XLA formula when no block fits"
+    return _softargmin_pallas_jit(cost_volume, sweep, bh, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "interpret"))
+def _softargmin_pallas_jit(
+    cost_volume: jnp.ndarray,
+    sweep: jnp.ndarray,
+    bh: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    B, D, h, w = cost_volume.shape
     grid = (B, h // bh)
 
     out = pl.pallas_call(

@@ -50,6 +50,7 @@ def measure(
     act_quant: str = "none",
     warp_quant: str = "none",
     fp32_precision: str = "highest",
+    scoped_vmem_kib: int | None = None,
 ):
     import jax
     import jax.numpy as jnp
@@ -62,6 +63,7 @@ def measure(
         view_num=view_num, max_d=D, max_h=H, max_w=W, compute_dtype=compute_dtype,
         pair_batch=pair_batch,
         act_quant=act_quant, warp_quant=warp_quant, fp32_precision=fp32_precision,
+        scoped_vmem_kib=scoped_vmem_kib,
     )
     params = init_params(jax.random.PRNGKey(0), cfg)
     images, cams = _inputs(view_num)
@@ -107,7 +109,9 @@ def main() -> None:
     ap.add_argument(
         "--xla-option", action="append", default=[],
         help="extra TPU compiler option key=value (repeatable), e.g. "
-        "--xla-option xla_tpu_scoped_vmem_limit_kib=65536",
+        "--xla-option xla_tpu_scoped_vmem_limit_kib=65536 (which also sets "
+        "PipelineConfig.scoped_vmem_kib so the Pallas soft-argmin block sizing "
+        "tracks the raised limit)",
     )
     ap.add_argument("--pair-batch", action="store_true")
     ap.add_argument("--view-num", type=int, default=VIEW_NUM)
@@ -132,6 +136,10 @@ def main() -> None:
                          "bound from the 2D source map, independent of --act-quant)")
     args = ap.parse_args()
     xla_options = dict(kv.split("=", 1) for kv in args.xla_option)
+    # keep the kernel's VMEM envelope in sync with a changed compiler limit
+    # (ops/softargmin._vmem_budget sizes blocks off PipelineConfig.scoped_vmem_kib)
+    vmem_kib = xla_options.get("xla_tpu_scoped_vmem_limit_kib")
+    scoped_vmem_kib = int(vmem_kib) if vmem_kib is not None else None
 
     import jax
 
@@ -143,7 +151,7 @@ def main() -> None:
         dev, args.dtype, args.iters, xla_options=xla_options,
         pair_batch=args.pair_batch, view_num=args.view_num, batch=args.batch,
         act_quant=args.act_quant, warp_quant=args.warp_quant,
-        fp32_precision=args.fp32_precision,
+        fp32_precision=args.fp32_precision, scoped_vmem_kib=scoped_vmem_kib,
     )
 
     baseline = None

@@ -26,7 +26,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -36,7 +35,7 @@ from atvsnet_tpu.models.atvsnet import multi_view_forward  # noqa: E402
 from atvsnet_tpu.models.tvsnet import init_params  # noqa: E402
 from atvsnet_tpu.parallel.mesh import auto_mesh_shape, make_mesh  # noqa: E402
 from atvsnet_tpu.parallel.pipeline import jit_sharded_forward  # noqa: E402
-from _utils import synthetic_scene  # noqa: E402
+from atvsnet_tpu.data.synthetic import synthetic_scene  # noqa: E402
 
 
 def main():
