@@ -52,6 +52,10 @@ def get_lib():
         lib.atv_count_mask.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.atv_compact_points.restype = ctypes.c_int64
         lib.atv_compact_points.argtypes = [ctypes.c_void_p] * 3 + [ctypes.c_int64] + [ctypes.c_void_p] * 2
+        lib.atv_compact_backproject.restype = ctypes.c_int64
+        lib.atv_compact_backproject.argtypes = (
+            [ctypes.c_void_p] * 4 + [ctypes.c_int64] * 2 + [ctypes.c_void_p] * 2
+        )
         lib.atv_write_ply.restype = ctypes.c_int
         lib.atv_write_ply.argtypes = [ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
@@ -83,6 +87,40 @@ def compact_points(mask: np.ndarray, points: np.ndarray, colors: np.ndarray):
     written = lib.atv_compact_points(
         mask.ctypes.data, points.ctypes.data, colors.ctypes.data, n,
         out_pts.ctypes.data, out_rgb.ctypes.data,
+    )
+    assert written == count, (written, count)
+    return out_pts, out_rgb
+
+
+def compact_backproject(packed: np.ndarray, depth: np.ndarray,
+                        Minv: np.ndarray, P4: np.ndarray):
+    """packed (H, W, 4) uint8 [emit, r, g, b] (the fusion chunk's single D2H
+    array), depth (H, W) f32 host-resident reference depth, Minv (3,3) / P4 (3,)
+    float64 camera geometry -> (m,3) f32 points, (m,3) u8 colors.
+
+    World coordinates are recomputed HERE from the depth map the host already
+    holds (X = Minv @ (d*[x,y,1] - P4), fusibile.cu:56-65) instead of being
+    transferred from the device — sheds 12 of the 16 D2H bytes/pixel on a
+    latency-bound link. Double-precision back-projection; non-finite zeroed."""
+    H, W = depth.shape
+    packed = np.ascontiguousarray(packed.reshape(H * W, 4).astype(np.uint8, copy=False))
+    depth = np.ascontiguousarray(depth.astype(np.float32, copy=False))
+    Minv = np.ascontiguousarray(Minv.astype(np.float64, copy=False))
+    P4 = np.ascontiguousarray(P4.astype(np.float64, copy=False))
+    lib = get_lib()
+    if lib is None:
+        idx = np.flatnonzero(packed[:, 0])
+        d = depth.reshape(-1)[idx].astype(np.float64)
+        pt = np.stack([d * (idx % W) - P4[0], d * (idx // W) - P4[1], d - P4[2]], -1)
+        pts = (pt @ Minv.T).astype(np.float32)
+        pts[~np.isfinite(pts)] = 0.0
+        return pts, packed[idx, 1:4].copy()
+    count = int(np.count_nonzero(packed[:, 0]))
+    out_pts = np.empty((count, 3), np.float32)
+    out_rgb = np.empty((count, 3), np.uint8)
+    written = lib.atv_compact_backproject(
+        packed.ctypes.data, depth.ctypes.data, Minv.ctypes.data, P4.ctypes.data,
+        H, W, out_pts.ctypes.data, out_rgb.ctypes.data,
     )
     assert written == count, (written, count)
     return out_pts, out_rgb

@@ -77,6 +77,60 @@ int64_t atv_compact_points(const uint8_t* mask, const float* points, const float
     return total;
 }
 
+// Compact + back-project: consumes the device's packed (H*W, 4) uint8 chunk
+// output [emit, r, g, b] plus the HOST-resident reference depth map, and
+// recomputes world coordinates here (double) instead of transferring them from
+// the device — the device->host link is latency/bandwidth bound and the float3
+// coordinates were 12 of the 16 bytes/pixel (fusion/consistency.fuse_depth_maps).
+//   X = Minv * (d*[x, y, 1] - P4)   (back-projection at integer pixel coords,
+//                                    cf. reference fusibile.cu:56-65)
+// out buffers sized by the caller (count of packed[4i] != 0). Non-finite
+// coordinates are zeroed (displayUtils.h:113-118 semantics). Returns points written.
+int64_t atv_compact_backproject(const uint8_t* packed, const float* depth,
+                                const double* Minv, const double* P4,
+                                int64_t H, int64_t W,
+                                float* out_points, uint8_t* out_colors) {
+    const int64_t n = H * W;
+    const int64_t kBlock = 1 << 16;
+    const int64_t n_blocks = (n + kBlock - 1) / kBlock;
+    std::vector<int64_t> block_counts(n_blocks, 0);
+
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const int64_t lo = b * kBlock, hi = (b + 1) * kBlock < n ? (b + 1) * kBlock : n;
+        int64_t c = 0;
+        for (int64_t i = lo; i < hi; ++i) c += packed[4 * i] != 0;
+        block_counts[b] = c;
+    }
+    std::vector<int64_t> block_offsets(n_blocks, 0);
+    int64_t total = 0;
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        block_offsets[b] = total;
+        total += block_counts[b];
+    }
+
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const int64_t lo = b * kBlock, hi = (b + 1) * kBlock < n ? (b + 1) * kBlock : n;
+        int64_t o = block_offsets[b];
+        for (int64_t i = lo; i < hi; ++i) {
+            if (!packed[4 * i]) continue;
+            const double d = (double)depth[i];
+            const double px = d * (double)(i % W) - P4[0];
+            const double py = d * (double)(i / W) - P4[1];
+            const double pz = d - P4[2];
+            for (int k = 0; k < 3; ++k) {
+                const double v = Minv[3 * k] * px + Minv[3 * k + 1] * py + Minv[3 * k + 2] * pz;
+                const float vf = (float)v;
+                out_points[3 * o + k] = (vf == vf && vf < 3.4e38f && vf > -3.4e38f) ? vf : 0.0f;
+                out_colors[3 * o + k] = packed[4 * i + 1 + k];
+            }
+            ++o;
+        }
+    }
+    return total;
+}
+
 // Write a binary_little_endian PLY with xyz float32 + rgb uchar.
 // Returns 0 on success.
 int atv_write_ply(const char* path, const float* points, const uint8_t* colors, int64_t n) {
