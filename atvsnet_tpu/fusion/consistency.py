@@ -48,14 +48,30 @@ def _pack_corners_2d(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([img, right, down, down_right], axis=-1)
 
 
-def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
-    """Sample (H, W, C) at float pixel coords with CUDA tex2D border behavior.
+# Measured crossover on the v5e (tools/bench_fusion.py, 480x896): folding ALL
+# views into one flat gather wins while the corner-packed table stays small
+# (V=8: 2.76->2.24s, V=24: 12.56->11.74s scene time), but LOSES once the table
+# outgrows gather locality (V=40, 1.1 GB table: 31.4->40.0s) — there the
+# per-view batched gather over V small (27 MB) tables is faster. Switch on the
+# table's row count.
+_FLAT_GATHER_MAX_ROWS = 24 * 480 * 896
 
-    tex2D with +0.5 offsets and linear filtering interpolates between texel centers;
-    coordinates are clamped at the image border (address mode wrap is configured but
-    in-bounds projection is enforced by the caller's bounds mask).
+
+def _bilinear_sample_all_views(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
+                               flat: bool):
+    """Sample src (V, H, W, C) at float pixel coords x/y (V, H, W) — view v's
+    coordinate grid samples view v's map — with CUDA tex2D border behavior
+    (coordinates clamped at the image border; in-bounds projection is enforced
+    by the caller's bounds mask).
+
+    ONE corner-packed gather row per sample (geometry/warp._pack_corners'
+    trick: TPU gathers are descriptor-bound, so one packed row beats the
+    4-gather bilinear form ~2x at scene scale). `flat` additionally folds the
+    view index into the row index of a single (V*H*W, 4C) table
+    (_gather_pixels' batch trick) — see _FLAT_GATHER_MAX_ROWS for when that
+    wins over V per-view gathers.
     """
-    H, W, C = img.shape
+    V, H, W, C = src.shape
     x = jnp.clip(x, 0.0, W - 1.0)
     y = jnp.clip(y, 0.0, H - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -63,9 +79,17 @@ def _bilinear_sample(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
     wx = x - x0
     wy = y - y0
 
-    table = _pack_corners_2d(img).reshape(H * W, 4 * C)
-    g = jnp.take(table, (y0 * W + x0).reshape(-1), axis=0, mode="clip")
-    g = g.reshape(x.shape + (4 * C,))
+    table = jax.vmap(_pack_corners_2d)(src)                 # (V, H, W, 4C)
+    if flat:
+        flat_table = table.reshape(V * H * W, 4 * C)
+        idx = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None, None] + y0 * W + x0
+        g = jnp.take(flat_table, idx.reshape(-1), axis=0, mode="clip")
+        g = g.reshape(x.shape + (4 * C,))
+    else:
+        g = jax.vmap(
+            lambda t, i: jnp.take(t.reshape(H * W, 4 * C), i.reshape(-1), axis=0,
+                                  mode="clip")
+        )(table, y0 * W + x0).reshape(x.shape + (4 * C,))
     wa = ((1 - wy) * (1 - wx))[..., None]
     wb = ((1 - wy) * wx)[..., None]
     wc = (wy * (1 - wx))[..., None]
@@ -139,6 +163,7 @@ def _fuse_one_ref_impl(
     num_consistent: int,
     normals: jnp.ndarray | None = None,   # (V, H, W, 3) or None
     normal_thresh_rad: float = float(np.pi * 2),
+    flat_sample: bool = True,
 ):
     V, H, W = depths.shape
     # images may arrive in their storage dtype (uint8 from the decoded jpgs) —
@@ -158,48 +183,54 @@ def _fuse_one_ref_impl(
     pt_h = jnp.stack([depth_r * xs - P4_r[0], depth_r * ys - P4_r[1], depth_r - P4_r[2]], -1)
     X = jnp.einsum("ij,hwj->hwi", Minv_r, pt_h, precision=_HI)  # (H, W, 3)
 
-    def check_view(i):
-        Pi = P[i]
-        proj = jnp.einsum("ij,hwj->hwi", Pi[:, :3], X, precision=_HI) + Pi[:, 3]
-        z = proj[..., 2]
-        px = proj[..., 0] / z
-        py = proj[..., 1] / z
-        in_bounds = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (i != ref_idx)
+    # ---- all V views checked at once (no per-view vmap: the sampling below is
+    # ONE flat gather over a view-folded table; see _bilinear_sample_all_views)
+    proj = (
+        jnp.einsum("vij,hwj->vhwi", P[:, :, :3], X, precision=_HI)
+        + P[:, None, None, :, 3]
+    )                                                       # (V, H, W, 3)
+    z = proj[..., 2]
+    px = proj[..., 0] / z
+    py = proj[..., 1] / z
+    not_ref = jnp.arange(V, dtype=ref_idx.dtype)[:, None, None] != ref_idx
+    in_bounds = (px >= 0) & (px < W) & (py >= 0) & (py < H) & not_ref
 
-        src = [depths[i][..., None], images[i]]
-        if normals is not None:
-            src.append(normals[i])
-        sampled = _bilinear_sample(jnp.concatenate(src, axis=-1), px, py)
-        z_i = sampled[..., 0]
-        rgb_i = sampled[..., 1:4]
+    src = [depths[..., None], images]
+    if normals is not None:
+        src.append(normals)
+    sampled = _bilinear_sample_all_views(
+        jnp.concatenate(src, axis=-1), px, py, flat=flat_sample
+    )
+    z_i = sampled[..., 0]
+    rgb_i = sampled[..., 1:4]
 
-        baseline = jnp.linalg.norm(C_r - centers[i])
-        disp = f_r * baseline / z
-        disp_i = f_r * baseline / z_i
-        # relative disparity check — SIGNED division exactly like fusibile.cu:211:
-        # a point projecting BEHIND view i (z < 0) gives disp < 0, so rel <= 0 <
-        # thresh and the view auto-passes; that reference quirk is reproduced. The
-        # zero-depth reference-pixel case is closed by the emit gate below instead
-        # (in the reference disp_r = inf makes every view's check nan -> False).
-        rel = jnp.abs(disp - disp_i) / disp
-        ok = in_bounds & (rel < disp_thresh)
+    baseline = jnp.linalg.norm(C_r[None] - centers, axis=-1)  # (V,)
+    disp = f_r * baseline[:, None, None] / z
+    disp_i = f_r * baseline[:, None, None] / z_i
+    # relative disparity check — SIGNED division exactly like fusibile.cu:211:
+    # a point projecting BEHIND view i (z < 0) gives disp < 0, so rel <= 0 <
+    # thresh and the view auto-passes; that reference quirk is reproduced. The
+    # zero-depth reference-pixel case is closed by the emit gate below instead
+    # (in the reference disp_r = inf makes every view's check nan -> False).
+    rel = jnp.abs(disp - disp_i) / disp
+    ok_all = in_bounds & (rel < disp_thresh)
 
-        if normals is None:
-            # pipeline path: fake unit normals + 360 deg threshold always pass
-            # (depth_fusion.py:92-111, fusibile.cu:213-214 trivially true)
-            return ok, jnp.where(ok[..., None], rgb_i, 0.0), jnp.zeros((H, W, 3))
-
+    if normals is None:
+        # pipeline path: fake unit normals + 360 deg threshold always pass
+        # (depth_fusion.py:92-111, fusibile.cu:213-214 trivially true)
+        rgb_all = jnp.where(ok_all[..., None], rgb_i, 0.0)
+        nrm_all = None
+    else:
         # normal-angle consistency (fusibile.cu:213-214 via getAngle_cu:118-126):
         # acos of the RAW dot product (no normalization, like the CUDA code); NaN
         # (dot product drifted past 1 on identical vectors) counts as angle 0.
         n_i = sampled[..., 4:7]
-        ang = jnp.arccos(jnp.sum(n_i * n_ref, axis=-1))
+        ang = jnp.arccos(jnp.sum(n_i * n_ref[None], axis=-1))
         ang = jnp.where(jnp.isnan(ang), 0.0, ang)
-        ok = ok & (ang < normal_thresh_rad)
-        keep = ok[..., None]
-        return ok, jnp.where(keep, rgb_i, 0.0), jnp.where(keep, n_i, 0.0)
-
-    ok_all, rgb_all, nrm_all = jax.vmap(check_view)(jnp.arange(V))
+        ok_all = ok_all & (ang < normal_thresh_rad)
+        keep = ok_all[..., None]
+        rgb_all = jnp.where(keep, rgb_i, 0.0)
+        nrm_all = jnp.where(keep, n_i, 0.0)
     count = jnp.sum(ok_all.astype(jnp.int32), axis=0)       # (H, W)
     ref_rgb = jnp.take(images, ref_idx, axis=0)
     avg_rgb = (ref_rgb + jnp.sum(rgb_all, axis=0)) / (count[..., None] + 1.0)
@@ -218,10 +249,11 @@ def _fuse_one_ref_impl(
     return emit, X, avg_rgb, avg_nrm
 
 
-@partial(jax.jit, static_argnames=("disp_thresh", "num_consistent", "normal_thresh_rad"))
+@partial(jax.jit, static_argnames=("disp_thresh", "num_consistent",
+                                   "normal_thresh_rad", "flat_sample"))
 def _fuse_ref_chunk(ref_idxs, depths, images, P, M_inv, centers, f,
                     disp_thresh, num_consistent, normals=None,
-                    normal_thresh_rad=float(np.pi * 2)):
+                    normal_thresh_rad=float(np.pi * 2), flat_sample=True):
     """Batched fusion pass: a CHUNK of reference cameras in one device program.
 
     Replaces the per-ref Python dispatch loop (VERDICT r3 item 3): vmap over the
@@ -237,6 +269,7 @@ def _fuse_ref_chunk(ref_idxs, depths, images, P, M_inv, centers, f,
         emit, X, rgb, nrm = _fuse_one_ref_impl(
             r, depths, images, P, M_inv, centers, f,
             disp_thresh, num_consistent, normals, normal_thresh_rad,
+            flat_sample=flat_sample,
         )
         # truncating cast matches the host compaction's astype(uint8)
         rgb8 = jnp.clip(rgb, 0.0, 255.0).astype(jnp.uint8)
@@ -312,6 +345,7 @@ def fuse_depth_maps(
             jnp.asarray(idxs), depths_j, images_j, P_j, Mi_j, C_j, f_j,
             disp_thresh=float(disp_thresh), num_consistent=int(num_consistent),
             normals=normals_j, normal_thresh_rad=float(np.deg2rad(normal_thresh_deg)),
+            flat_sample=(V * depths.shape[1] * depths.shape[2] <= _FLAT_GATHER_MAX_ROWS),
         )
         return out, idxs, min(V - ci * R, R)
 

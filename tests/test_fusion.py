@@ -215,3 +215,18 @@ def test_fuse_chunked_matches_per_ref():
         assert p.shape == p1.shape, (chunk, p.shape, p1.shape)
         np.testing.assert_allclose(p, p1, atol=1e-5)
         np.testing.assert_array_equal(c, c1)
+
+
+def test_flat_and_batched_gather_match(monkeypatch):
+    """The flat view-folded gather and the per-view batched gather (the
+    _FLAT_GATHER_MAX_ROWS perf switch) must produce identical fused clouds:
+    same corner rows, same weights — only the gather's addressing differs."""
+    import atvsnet_tpu.fusion.consistency as consistency
+
+    depths, images, cams = plane_scene(V=4)
+    p_flat, c_flat = fuse_depth_maps(depths, images, cams)
+    monkeypatch.setattr(consistency, "_FLAT_GATHER_MAX_ROWS", 0)
+    p_batched, c_batched = fuse_depth_maps(depths, images, cams)
+    assert p_flat.shape == p_batched.shape
+    np.testing.assert_allclose(p_flat, p_batched, atol=1e-5)
+    np.testing.assert_array_equal(c_flat, c_batched)

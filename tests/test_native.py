@@ -40,6 +40,51 @@ class TestCompact:
         assert out_p.shape == (0, 3)
 
 
+class TestCompactBackproject:
+    def _scene(self, seed=0, H=37, W=53):
+        rng = np.random.RandomState(seed)
+        packed = np.zeros((H, W, 4), np.uint8)
+        packed[..., 0] = rng.rand(H, W) > 0.5
+        packed[..., 1:] = rng.randint(0, 256, (H, W, 3))
+        depth = (1.0 + rng.rand(H, W)).astype(np.float32)
+        K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1.0]])
+        R = np.eye(3)
+        t = np.array([0.1, -0.2, 0.3])
+        P = K @ np.hstack([R, t[:, None]])
+        Minv = np.linalg.inv(P[:, :3])
+        P4 = P[:, 3]
+        return packed, depth, Minv, P4
+
+    def test_matches_numpy_fallback(self, lib, monkeypatch):
+        packed, depth, Minv, P4 = self._scene()
+        out_p, out_c = native.compact_backproject(packed, depth, Minv, P4)
+        monkeypatch.setattr(native, "get_lib", lambda: None)
+        ref_p, ref_c = native.compact_backproject(packed, depth, Minv, P4)
+        assert out_p.shape == ref_p.shape
+        np.testing.assert_allclose(out_p, ref_p, rtol=0, atol=0)  # both double->f32
+        np.testing.assert_array_equal(out_c, ref_c)
+
+    def test_backprojection_geometry(self, lib):
+        # every emitted point must reproject to its own pixel: P @ [X,1] = d*(x,y,1)
+        packed, depth, Minv, P4 = self._scene(seed=3)
+        H, W = depth.shape
+        pts, _ = native.compact_backproject(packed, depth, Minv, P4)
+        idx = np.flatnonzero(packed[..., 0].reshape(-1))
+        M = np.linalg.inv(Minv)
+        proj = pts @ M.T + P4
+        d = depth.reshape(-1)[idx]
+        np.testing.assert_allclose(proj[:, 2], d, rtol=1e-5)
+        np.testing.assert_allclose(proj[:, 0] / proj[:, 2], idx % W, atol=1e-3)
+        np.testing.assert_allclose(proj[:, 1] / proj[:, 2], idx // W, atol=1e-3)
+
+    def test_empty(self, lib):
+        packed = np.zeros((8, 9, 4), np.uint8)
+        pts, cols = native.compact_backproject(
+            packed, np.ones((8, 9), np.float32), np.eye(3), np.zeros(3)
+        )
+        assert pts.shape == (0, 3) and cols.shape == (0, 3)
+
+
 class TestNativePly:
     def test_roundtrip_via_reader(self, lib, tmp_path):
         from atvsnet_tpu.fusion.ply import read_ply
