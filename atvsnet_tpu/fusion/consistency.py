@@ -133,6 +133,28 @@ def select_views(
     return np.asarray(selected, dtype=np.int32)
 
 
+def camera_geometry_from_P(P: np.ndarray):
+    """Raw projection matrices P (V, 3, 4) -> (P f32, M_inv, centers, f).
+
+    The generic-gipuma entry: KITTI/Strecha/Middlebury readers
+    (data/gipuma_io.py, cf. fusibile/fileIoUtils.h:44-153) produce bare P
+    stacks; focal length comes from the RQ decomposition exactly like the
+    reference's per-camera decomposeProjectionMatrix pass
+    (cameraGeometryUtils.h:318-331)."""
+    from atvsnet_tpu.data.gipuma_io import decompose_projection
+
+    P = np.asarray(P, np.float64)
+    M_inv = np.linalg.inv(P[:, :, :3])
+    centers = -(M_inv @ P[:, :, 3:4])[..., 0]
+    f = np.array([decompose_projection(p)[0][0, 0] for p in P])
+    return (
+        P.astype(np.float32),
+        M_inv.astype(np.float32),
+        centers.astype(np.float32),
+        f.astype(np.float32),
+    )
+
+
 def camera_geometry(cams: np.ndarray):
     """cams (V, 2, 4, 4) -> P (V,3,4), M_inv (V,3,3), centers (V,3), f (V,)."""
     cams = np.asarray(cams, np.float64)
@@ -283,7 +305,7 @@ def _fuse_ref_chunk(ref_idxs, depths, images, P, M_inv, centers, f,
 def fuse_depth_maps(
     depths: np.ndarray,
     images: np.ndarray,
-    cams: np.ndarray,
+    cams: np.ndarray | None = None,
     disp_thresh: float = 0.01,
     num_consistent: int = 2,
     normals: np.ndarray | None = None,
@@ -291,6 +313,7 @@ def fuse_depth_maps(
     depth_min: float | None = None,
     depth_max: float | None = None,
     ref_chunk: int = 4,
+    P_matrices: np.ndarray | None = None,
 ):
     """Fuse all views' depth maps into one point set.
 
@@ -312,7 +335,17 @@ def fuse_depth_maps(
       out (fusibile.cu:364-365) — there they are inert; here they filter.
     """
     V = depths.shape[0]
-    P, M_inv, centers, f = camera_geometry(cams)
+    if (cams is None) == (P_matrices is None):
+        raise ValueError("pass exactly one of cams (V,2,4,4) or P_matrices (V,3,4)")
+    if P_matrices is not None:
+        # generic-gipuma path: raw projection matrices from the KITTI/Strecha/
+        # Middlebury readers (data/gipuma_io.py)
+        P64 = np.asarray(P_matrices, np.float64)
+        P, M_inv, centers, f = camera_geometry_from_P(P64)
+    else:
+        P, M_inv, centers, f = camera_geometry(cams)
+        cams64 = np.asarray(cams, np.float64)
+        P64 = cams64[:, 1, :3, :3] @ cams64[:, 0, :3, :4]
     depths = np.asarray(depths, np.float32)
     if depth_min is not None or depth_max is not None:
         lo = 0.0 if depth_min is None else float(depth_min)
@@ -333,8 +366,6 @@ def fuse_depth_maps(
     # double-precision camera geometry for the host back-projection (the device
     # keeps its own f32 copy for the consistency checks; points are emitted from
     # THIS side now, at higher precision than the old device-transferred X)
-    cams64 = np.asarray(cams, np.float64)
-    P64 = cams64[:, 1, :3, :3] @ cams64[:, 0, :3, :4]
     Minv64 = np.linalg.inv(P64[:, :, :3])
     P4_64 = P64[:, :, 3]
 
