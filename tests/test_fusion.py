@@ -217,6 +217,18 @@ def test_fuse_chunked_matches_per_ref():
         np.testing.assert_array_equal(c, c1)
 
 
+def test_uint8_and_float32_images_identical():
+    """Images upload in their storage dtype (uint8 from decoded jpgs, 1/4 the
+    H2D bytes) and are cast to f32 on device — byte-identical clouds to the
+    float32-input path since 0..255 integers are exact in f32."""
+    depths, images, cams = plane_scene(V=3)
+    img8 = images.astype(np.uint8)
+    p1, c1 = fuse_depth_maps(depths, img8, cams)
+    p2, c2 = fuse_depth_maps(depths, img8.astype(np.float32), cams)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(c1, c2)
+
+
 def test_flat_and_batched_gather_match(monkeypatch):
     """The flat view-folded gather and the per-view batched gather (the
     _FLAT_GATHER_MAX_ROWS perf switch) must produce identical fused clouds:

@@ -49,7 +49,7 @@ def make_consistent_scene(V: int, H: int, W: int, z0: float = 10.0, drop: float 
     # simulated probability filter: a random fraction carries no depth
     mask = rng.rand(V, H, W) < drop
     depths[mask] = 0.0
-    images = rng.randint(0, 255, size=(V, H, W, 3)).astype(np.float32)
+    images = rng.randint(0, 255, size=(V, H, W, 3))
     return depths, images, cams
 
 
@@ -64,6 +64,11 @@ def main() -> None:
     ap.add_argument("--ref-chunk", type=int, default=4,
                     help="reference cameras fused per device program "
                          "(fusion/consistency.fuse_depth_maps ref_chunk)")
+    ap.add_argument("--image-dtype", default="uint8", choices=["uint8", "float32"],
+                    help="image array dtype handed to fuse_depth_maps. uint8 is "
+                         "the real driver path (decoded jpgs, 1/4 the H2D bytes); "
+                         "the round-4 committed table used float32 — pass it for "
+                         "apples-to-apples against FUSION_BENCH_r04.json")
     args = ap.parse_args()
 
     from atvsnet_tpu.fusion.consistency import fuse_depth_maps
@@ -71,6 +76,7 @@ def main() -> None:
     results = []
     for V in args.views:
         depths, images, cams = make_consistent_scene(V, args.height, args.width, drop=args.drop)
+        images = images.astype(args.image_dtype)
         # warm-up: compiles the chunk program (one compile — shapes are constant)
         pts, _ = fuse_depth_maps(depths, images, cams, ref_chunk=args.ref_chunk)
         t0 = time.perf_counter()
