@@ -83,6 +83,14 @@ def main() -> None:
     ap.add_argument("--max_h", type=int, default=128)
     ap.add_argument("--max_w", type=int, default=160)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr_schedule", default="constant", choices=["constant", "cosine"],
+                    help="cosine = linear warmup then cosine decay "
+                         "(TrainConfig; schedule step lives in the optimizer "
+                         "state, so --resume continues it)")
+    ap.add_argument("--warmup_steps", type=int, default=0)
+    ap.add_argument("--decay_steps", type=int, default=None,
+                    help="cosine horizon; defaults to --steps")
+    ap.add_argument("--lr_final_fraction", type=float, default=0.01)
     ap.add_argument("--ckpt", default="runs/train_state.npz")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
@@ -110,7 +118,12 @@ def main() -> None:
         view_num=args.view_num, max_d=args.max_d, max_h=args.max_h, max_w=args.max_w,
         compute_dtype=args.dtype,
     )
-    tcfg = TrainConfig(learning_rate=args.lr)
+    tcfg = TrainConfig(
+        learning_rate=args.lr, lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
+        decay_steps=args.decay_steps if args.decay_steps is not None else args.steps,
+        lr_final_fraction=args.lr_final_fraction,
+    )
     tx = make_optimizer(tcfg)
 
     params = init_params(jax.random.PRNGKey(args.seed), cfg)

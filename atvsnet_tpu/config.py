@@ -165,3 +165,17 @@ class TrainConfig:
     loss_weight_agg: float = 1.0
     loss_weight_refined: float = 1.0
     grad_clip_norm: Optional[float] = 1.0
+    # LR schedule: 'constant' or 'cosine' (linear warmup over warmup_steps, then
+    # cosine decay to lr_final_fraction * learning_rate at decay_steps; the
+    # optimizer reads the step from its own optax count, so --resume continues
+    # the schedule where it stopped).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 10_000
+    lr_final_fraction: float = 0.01
+
+    def __post_init__(self):
+        if self.lr_schedule not in ("constant", "cosine"):
+            raise ValueError(f"lr_schedule must be constant|cosine, got {self.lr_schedule!r}")
+        if self.decay_steps <= 0:
+            raise ValueError("decay_steps must be positive")

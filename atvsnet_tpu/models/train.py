@@ -32,7 +32,17 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
         chain.append(optax.clip_by_global_norm(tcfg.grad_clip_norm))
     if tcfg.weight_decay:
         chain.append(optax.add_decayed_weights(tcfg.weight_decay))
-    chain.append(optax.adam(tcfg.learning_rate))
+    if tcfg.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if tcfg.warmup_steps else tcfg.learning_rate,
+            peak_value=tcfg.learning_rate,
+            warmup_steps=tcfg.warmup_steps,
+            decay_steps=tcfg.decay_steps,
+            end_value=tcfg.learning_rate * tcfg.lr_final_fraction,
+        )
+    else:
+        lr = tcfg.learning_rate
+    chain.append(optax.adam(lr))
     return optax.chain(*chain)
 
 

@@ -160,3 +160,60 @@ class TestConfigValidation:
         with pytest.raises(ValueError, match="view_num"):
             PipelineConfig(view_num=1)
         PipelineConfig(max_d=8, max_h=32, max_w=32)  # valid: no raise
+
+
+class TestLrSchedule:
+    """TrainConfig.lr_schedule (training extension; the reference ships no
+    training at all, SURVEY.md §0)."""
+
+    def test_cosine_warmup_then_decay(self):
+        import jax.numpy as jnp
+        import optax
+
+        from atvsnet_tpu.config import TrainConfig
+        from atvsnet_tpu.models.train import make_optimizer
+
+        tcfg = TrainConfig(learning_rate=1e-2, lr_schedule="cosine",
+                           warmup_steps=3, decay_steps=12, lr_final_fraction=0.1,
+                           grad_clip_norm=None)
+        tx = make_optimizer(tcfg)
+        params = {"w": jnp.zeros(())}
+        state = tx.init(params)
+        grads = {"w": jnp.ones(())}
+        steps = []
+        for _ in range(12):
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            steps.append(abs(float(updates["w"])))
+        # warmup: step size grows; tail: decays well below the peak
+        assert steps[0] < steps[2]
+        peak = max(steps)
+        assert steps[-1] < 0.5 * peak
+
+    def test_constant_is_flat(self):
+        import jax.numpy as jnp
+        import optax
+
+        from atvsnet_tpu.config import TrainConfig
+        from atvsnet_tpu.models.train import make_optimizer
+
+        tx = make_optimizer(TrainConfig(learning_rate=1e-2, grad_clip_norm=None))
+        params = {"w": jnp.zeros(())}
+        state = tx.init(params)
+        grads = {"w": jnp.ones(())}
+        steps = []
+        for _ in range(5):
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            steps.append(abs(float(updates["w"])))
+        # Adam's bias correction wiggles f32 step sizes at ~1e-5 relative even
+        # under a constant LR; "flat" here means no schedule-scale variation
+        assert max(steps) - min(steps) < 1e-3 * max(steps)
+
+    def test_invalid_schedule_rejected(self):
+        import pytest
+
+        from atvsnet_tpu.config import TrainConfig
+
+        with pytest.raises(ValueError):
+            TrainConfig(lr_schedule="linear")
