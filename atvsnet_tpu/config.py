@@ -179,3 +179,12 @@ class TrainConfig:
             raise ValueError(f"lr_schedule must be constant|cosine, got {self.lr_schedule!r}")
         if self.decay_steps <= 0:
             raise ValueError("decay_steps must be positive")
+        if self.warmup_steps < 0:
+            raise ValueError("warmup_steps must be >= 0")
+        if self.lr_schedule == "cosine" and self.warmup_steps >= self.decay_steps:
+            # optax's decay horizon INCLUDES the warmup; warmup at or past it
+            # would surface as an opaque "decay_steps=0" error inside optax
+            raise ValueError(
+                f"warmup_steps ({self.warmup_steps}) must be < decay_steps "
+                f"({self.decay_steps}) — the cosine horizon includes the warmup"
+            )

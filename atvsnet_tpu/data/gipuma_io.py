@@ -49,11 +49,11 @@ def decompose_projection(P: np.ndarray):
     D = np.diag(np.sign(np.diag(K)))
     K = K @ D
     R = D @ R
-    # proper rotation (det +1); a global sign flip of P leaves K@[R|t] invariant
+    # proper rotation (det +1); the paired sign flips keep K @ R == M, i.e. a
+    # global sign flip of P leaves the decomposition consistent
     if np.linalg.det(R) < 0:
         R = -R
         K = -K
-        D = -D  # keep K @ R == M
     t = np.linalg.solve(K, P[:, 3])
     scale = K[2, 2]
     if scale == 0:

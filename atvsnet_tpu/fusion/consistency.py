@@ -33,28 +33,14 @@ import numpy as np
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _pack_corners_2d(img: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, C) -> (H, W, 4C) with [f(y,x), f(y,x+1), f(y+1,x), f(y+1,x+1)].
-
-    Same trick as geometry/warp._pack_corners: TPU gathers are descriptor-bound,
-    so ONE gather of a corner-packed row beats four gathers of the source
-    (measured ~4x on the plane-sweep warp; fusion's consistency checks are the
-    same access pattern). Edge rows/columns are clamp-padded — only read where
-    the corresponding bilinear weight is exactly zero (coords are pre-clipped to
-    [0, W-1] so x0 = W-1 implies wx = 0)."""
-    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
-    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
-    return jnp.concatenate([img, right, down, down_right], axis=-1)
-
-
-# Measured crossover on the v5e (tools/bench_fusion.py, 480x896): folding ALL
-# views into one flat gather wins while the corner-packed table stays small
-# (V=8: 2.76->2.24s, V=24: 12.56->11.74s scene time), but LOSES once the table
-# outgrows gather locality (V=40, 1.1 GB table: 31.4->40.0s) — there the
-# per-view batched gather over V small (27 MB) tables is faster. Switch on the
-# table's row count.
-_FLAT_GATHER_MAX_ROWS = 24 * 480 * 896
+# Measured crossover on the v5e (tools/bench_fusion.py, 480x896, pipeline path
+# C=4 -> 16 packed f32 channels): folding ALL views into one flat gather wins
+# while the corner-packed table stays small (V=8: 2.76->2.24s, V=24:
+# 12.56->11.74s scene time), but LOSES once the table outgrows gather locality
+# (V=40, 1.1 GB table: 31.4->40.0s) — there the per-view batched gather over V
+# small (27 MB) tables is faster. The switch is on table BYTES so the wider
+# normals path (C=7 -> 28 packed channels) crosses over proportionally earlier.
+_FLAT_GATHER_MAX_TABLE_BYTES = 24 * 480 * 896 * 16 * 4
 
 
 def _bilinear_sample_all_views(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
@@ -64,13 +50,17 @@ def _bilinear_sample_all_views(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     (coordinates clamped at the image border; in-bounds projection is enforced
     by the caller's bounds mask).
 
-    ONE corner-packed gather row per sample (geometry/warp._pack_corners'
-    trick: TPU gathers are descriptor-bound, so one packed row beats the
-    4-gather bilinear form ~2x at scene scale). `flat` additionally folds the
-    view index into the row index of a single (V*H*W, 4C) table
-    (_gather_pixels' batch trick) — see _FLAT_GATHER_MAX_ROWS for when that
-    wins over V per-view gathers.
+    ONE corner-packed gather row per sample (geometry/warp._pack_corners —
+    TPU gathers are descriptor-bound, so one packed row beats the 4-gather
+    bilinear form ~2x at scene scale; edge clamp-padding is only read where
+    the corresponding bilinear weight is exactly zero since coords are
+    pre-clipped to [0, W-1]). `flat` additionally folds the view index into
+    the row index of a single (V*H*W, 4C) table (_gather_pixels' batch trick)
+    — see _FLAT_GATHER_MAX_TABLE_BYTES for when that wins over V per-view
+    gathers.
     """
+    from atvsnet_tpu.geometry.warp import _pack_corners
+
     V, H, W, C = src.shape
     x = jnp.clip(x, 0.0, W - 1.0)
     y = jnp.clip(y, 0.0, H - 1.0)
@@ -79,7 +69,7 @@ def _bilinear_sample_all_views(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     wx = x - x0
     wy = y - y0
 
-    table = jax.vmap(_pack_corners_2d)(src)                 # (V, H, W, 4C)
+    table = _pack_corners(src)                              # (V, H, W, 4C)
     if flat:
         flat_table = table.reshape(V * H * W, 4 * C)
         idx = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None, None] + y0 * W + x0
@@ -133,6 +123,24 @@ def select_views(
     return np.asarray(selected, dtype=np.int32)
 
 
+def _geometry_from_P64(P64: np.ndarray):
+    """(V, 3, 4) float64 P stack -> (P f32, M_inv f32, centers f32, f f32,
+    M_inv float64 — reused by the host back-projection so the inverse is
+    computed once)."""
+    from atvsnet_tpu.data.gipuma_io import decompose_projection
+
+    M_inv64 = np.linalg.inv(P64[:, :, :3])
+    centers = -(M_inv64 @ P64[:, :, 3:4])[..., 0]
+    f = np.array([decompose_projection(p)[0][0, 0] for p in P64])
+    return (
+        P64.astype(np.float32),
+        M_inv64.astype(np.float32),
+        centers.astype(np.float32),
+        f.astype(np.float32),
+        M_inv64,
+    )
+
+
 def camera_geometry_from_P(P: np.ndarray):
     """Raw projection matrices P (V, 3, 4) -> (P f32, M_inv, centers, f).
 
@@ -141,18 +149,7 @@ def camera_geometry_from_P(P: np.ndarray):
     stacks; focal length comes from the RQ decomposition exactly like the
     reference's per-camera decomposeProjectionMatrix pass
     (cameraGeometryUtils.h:318-331)."""
-    from atvsnet_tpu.data.gipuma_io import decompose_projection
-
-    P = np.asarray(P, np.float64)
-    M_inv = np.linalg.inv(P[:, :, :3])
-    centers = -(M_inv @ P[:, :, 3:4])[..., 0]
-    f = np.array([decompose_projection(p)[0][0, 0] for p in P])
-    return (
-        P.astype(np.float32),
-        M_inv.astype(np.float32),
-        centers.astype(np.float32),
-        f.astype(np.float32),
-    )
+    return _geometry_from_P64(np.asarray(P, np.float64))[:4]
 
 
 def camera_geometry(cams: np.ndarray):
@@ -341,11 +338,12 @@ def fuse_depth_maps(
         # generic-gipuma path: raw projection matrices from the KITTI/Strecha/
         # Middlebury readers (data/gipuma_io.py)
         P64 = np.asarray(P_matrices, np.float64)
-        P, M_inv, centers, f = camera_geometry_from_P(P64)
+        P, M_inv, centers, f, Minv64 = _geometry_from_P64(P64)
     else:
         P, M_inv, centers, f = camera_geometry(cams)
         cams64 = np.asarray(cams, np.float64)
         P64 = cams64[:, 1, :3, :3] @ cams64[:, 0, :3, :4]
+        Minv64 = np.linalg.inv(P64[:, :, :3])
     depths = np.asarray(depths, np.float32)
     if depth_min is not None or depth_max is not None:
         lo = 0.0 if depth_min is None else float(depth_min)
@@ -366,7 +364,6 @@ def fuse_depth_maps(
     # double-precision camera geometry for the host back-projection (the device
     # keeps its own f32 copy for the consistency checks; points are emitted from
     # THIS side now, at higher precision than the old device-transferred X)
-    Minv64 = np.linalg.inv(P64[:, :, :3])
     P4_64 = P64[:, :, 3]
 
     def dispatch(ci):
@@ -376,7 +373,11 @@ def fuse_depth_maps(
             jnp.asarray(idxs), depths_j, images_j, P_j, Mi_j, C_j, f_j,
             disp_thresh=float(disp_thresh), num_consistent=int(num_consistent),
             normals=normals_j, normal_thresh_rad=float(np.deg2rad(normal_thresh_deg)),
-            flat_sample=(V * depths.shape[1] * depths.shape[2] <= _FLAT_GATHER_MAX_ROWS),
+            flat_sample=(
+                V * depths.shape[1] * depths.shape[2]
+                * 4 * (4 if normals is None else 7) * 4
+                <= _FLAT_GATHER_MAX_TABLE_BYTES
+            ),
         )
         return out, idxs, min(V - ci * R, R)
 

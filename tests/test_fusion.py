@@ -231,13 +231,14 @@ def test_uint8_and_float32_images_identical():
 
 def test_flat_and_batched_gather_match(monkeypatch):
     """The flat view-folded gather and the per-view batched gather (the
-    _FLAT_GATHER_MAX_ROWS perf switch) must produce identical fused clouds:
-    same corner rows, same weights — only the gather's addressing differs."""
+    _FLAT_GATHER_MAX_TABLE_BYTES perf switch) must produce identical fused
+    clouds: same corner rows, same weights — only the gather's addressing
+    differs."""
     import atvsnet_tpu.fusion.consistency as consistency
 
     depths, images, cams = plane_scene(V=4)
     p_flat, c_flat = fuse_depth_maps(depths, images, cams)
-    monkeypatch.setattr(consistency, "_FLAT_GATHER_MAX_ROWS", 0)
+    monkeypatch.setattr(consistency, "_FLAT_GATHER_MAX_TABLE_BYTES", 0)
     p_batched, c_batched = fuse_depth_maps(depths, images, cams)
     assert p_flat.shape == p_batched.shape
     np.testing.assert_allclose(p_flat, p_batched, atol=1e-5)

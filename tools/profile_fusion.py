@@ -38,7 +38,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from atvsnet_tpu.fusion.consistency import (
-        _FLAT_GATHER_MAX_ROWS,
+        _FLAT_GATHER_MAX_TABLE_BYTES,
         _fuse_ref_chunk,
         camera_geometry,
     )
@@ -47,7 +47,7 @@ def main() -> None:
     V, H, W, R = args.views, args.height, args.width, args.ref_chunk
     depths, images, cams = make_consistent_scene(V, H, W)
     images = images.astype(args.image_dtype)
-    flat = V * H * W <= _FLAT_GATHER_MAX_ROWS
+    flat = V * H * W * 4 * 4 * 4 <= _FLAT_GATHER_MAX_TABLE_BYTES  # pipeline C=4
 
     cams64 = np.asarray(cams, np.float64)
     P64 = cams64[:, 1, :3, :3] @ cams64[:, 0, :3, :4]
@@ -70,7 +70,7 @@ def main() -> None:
             return _fuse_ref_chunk(
                 jnp.asarray(idxs), dj, ij, Pj, Mj, Cj, fj,
                 disp_thresh=0.01, num_consistent=2, flat_sample=flat,
-            ), idxs
+            ), idxs[: min(V - ci * R, R)]  # tail chunk is pad-by-repeat; drop pads
 
         t_disp = t_pull = t_comp = 0.0
         n_pts = 0
