@@ -91,6 +91,10 @@ def main() -> None:
     ap.add_argument("--decay_steps", type=int, default=None,
                     help="cosine horizon; defaults to --steps")
     ap.add_argument("--lr_final_fraction", type=float, default=0.01)
+    ap.add_argument("--conf_weight", type=float, default=0.0,
+                    help="peakiness term weight (TrainConfig.loss_weight_confidence): "
+                         "keeps the 4-bin confidence maps sharp under long training "
+                         "so the fusion prob filter's default tau stays usable")
     ap.add_argument("--ckpt", default="runs/train_state.npz")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--dtype", default="bfloat16")
@@ -123,6 +127,7 @@ def main() -> None:
         warmup_steps=args.warmup_steps,
         decay_steps=args.decay_steps if args.decay_steps is not None else args.steps,
         lr_final_fraction=args.lr_final_fraction,
+        loss_weight_confidence=args.conf_weight,
     )
     tx = make_optimizer(tcfg)
 
@@ -195,7 +200,8 @@ def main() -> None:
         if (i + 1) % args.log_every == 0:
             loss = float(metrics["loss"])
             rate = (i + 1 - start) / (time.time() - t0)
-            log.info(f"step {i + 1}/{args.steps} loss {loss:.4f} ({rate:.2f} it/s)")
+            conf = f" conf {float(metrics['confidence']):.3f}" if "confidence" in metrics else ""
+            log.info(f"step {i + 1}/{args.steps} loss {loss:.4f}{conf} ({rate:.2f} it/s)")
         if (i + 1) % args.ckpt_every == 0 or (i + 1) == args.steps:
             save_train_state(args.ckpt, state)
     save_train_state(args.ckpt, state)

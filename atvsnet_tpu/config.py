@@ -165,6 +165,13 @@ class TrainConfig:
     loss_weight_agg: float = 1.0
     loss_weight_refined: float = 1.0
     grad_clip_norm: Optional[float] = 1.0
+    # Peakiness term on the aggregated probability volume: adds
+    # loss_weight_confidence * (1 - mean 4-bin confidence over gt-valid pixels).
+    # Masked L1 on the EXPECTED depth is indifferent to how concentrated the
+    # softmax is, so long training flattens the confidence maps (measured:
+    # max prob 0.885 after 10k steps — nothing clears the reference pipeline's
+    # tau=0.8 fusion default, ROUND4.md §4); this term restores the incentive.
+    loss_weight_confidence: float = 0.0
     # LR schedule: 'constant' or 'cosine' (linear warmup over warmup_steps, then
     # cosine decay to lr_final_fraction * learning_rate at decay_steps; the
     # optimizer reads the step from its own optax count, so --resume continues
@@ -181,6 +188,8 @@ class TrainConfig:
             raise ValueError("decay_steps must be positive")
         if self.warmup_steps < 0:
             raise ValueError("warmup_steps must be >= 0")
+        if self.loss_weight_confidence < 0:
+            raise ValueError("loss_weight_confidence must be >= 0")
         if self.lr_schedule == "cosine" and self.warmup_steps >= self.decay_steps:
             # optax's decay horizon INCLUDES the warmup; warmup at or past it
             # would surface as an opaque "decay_steps=0" error inside optax

@@ -76,8 +76,10 @@ def training_loss(
     # upsample=False: the loss reads only native-resolution maps, and the 4x
     # upsampled soft-argmin chain cannot be DCE'd through its row-tiled lax.map
     # (models/atvsnet.py:46-51) — it would cost ~3x the rest of stage 4 per step
+    need_conf = tcfg.loss_weight_confidence > 0
     out = multi_view_forward_spmd(
-        params, batch["images"], batch["cams"], cfg, mesh, upsample=False
+        params, batch["images"], batch["cams"], cfg, mesh, upsample=False,
+        out_prob_map=need_conf,
     )
     interval = batch["cams"][:, 0, 1, 3, 1]
     gt = batch["depth_gt"]
@@ -85,6 +87,16 @@ def training_loss(
         tcfg.loss_weight_agg * masked_l1(out["depth_agg_initial"], gt, interval)
         + tcfg.loss_weight_refined * masked_l1(out["depth"], gt, interval)
     )
+    metrics_extra = {}
+    if need_conf:
+        # peakiness: maximize the 4-bin confidence at the regressed depth over
+        # gt-valid pixels (the quantity the fusion prob filter thresholds);
+        # the L1 terms alone are indifferent to softmax concentration
+        valid = (gt > 0).astype(jnp.float32)
+        conf = out["confidence"].astype(jnp.float32)
+        conf_mean = jnp.sum(conf * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        loss = loss + tcfg.loss_weight_confidence * (1.0 - conf_mean)
+        metrics_extra["confidence"] = conf_mean
     if "depth_views_gt" in batch:
         # multi-depth samples (preprocess_mvs_syn.py:485-582 layout) carry every
         # view's OWN-frame gt — supervise the swapped depths directly, no warping
@@ -95,7 +107,7 @@ def training_loss(
     else:
         aux = aux_view_loss(out["depth_views"], batch["cams"], gt, interval, cfg)
     loss = loss + tcfg.loss_weight_initial * aux
-    return loss, {"loss": loss, "loss_aux": aux}
+    return loss, {"loss": loss, "loss_aux": aux, **metrics_extra}
 
 
 def aux_view_loss(

@@ -138,6 +138,30 @@ class TestTraining:
         w1 = np.asarray(state2.params["crm"]["conv_b0_1_0"]["w"])
         assert not np.allclose(w0, w1)
 
+    def test_confidence_term_sharpens_loss_and_logs_metric(self, params, scene):
+        """loss_weight_confidence adds w*(1 - mean conf) and a 'confidence'
+        metric; the term must be strictly positive (conf < 1 at init) and
+        carry gradient (weights move differently than without it)."""
+        images, cams = scene
+        rng = np.random.RandomState(0)
+        gt = (0.5 + 0.3 * rng.rand(1, 8, 8, 1)).astype(np.float32)
+        batch = {"images": images, "cams": cams, "depth_gt": jnp.asarray(gt)}
+
+        tcfg0 = TrainConfig(learning_rate=1e-3)
+        tcfg1 = TrainConfig(learning_rate=1e-3, loss_weight_confidence=0.5)
+        tx = make_optimizer(tcfg0)
+        s0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        _, m0 = jax.jit(lambda s, b: train_step(s, b, CFG, tcfg0, tx))(s0, batch)
+        s0 = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        s1, m1 = jax.jit(lambda s, b: train_step(s, b, CFG, tcfg1, tx))(s0, batch)
+        conf = float(m1["confidence"])
+        assert 0.0 < conf < 1.0
+        assert "confidence" not in m0
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m0["loss"]) + 0.5 * (1.0 - conf), rtol=1e-4
+        )
+        assert np.isfinite(float(m1["loss"]))
+
     def test_sharded_train_step_runs(self, scene):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
