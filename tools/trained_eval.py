@@ -27,17 +27,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def evaluate(params, cfg, scenes, fwd):
-    """Mean error vector over held-out scenes (native-res depth vs gt)."""
+    """Mean error vector + confidence stats over held-out scenes (native res).
+
+    Confidence stats (mean, and the fraction of gt-valid pixels clearing the
+    fusion prob filter's default tau=0.8 / relaxed 0.5) quantify the peakiness
+    the TrainConfig.loss_weight_confidence term targets — long L1-only training
+    flattens the 4-bin confidence below tau (ROUND4.md §4)."""
     from atvsnet_tpu.eval.errors import calc_error
 
-    errs = []
+    errs, conf_stats = [], []
     for s in scenes:
-        depth_sweep = np.asarray(fwd(params, s["images"], s["cams"]))[0, ..., 0]
+        depth_j, conf_j = fwd(params, s["images"], s["cams"])
+        depth_sweep = np.asarray(depth_j)[0, ..., 0]
+        conf = np.asarray(conf_j, np.float32)[0, ..., 0]
         with np.errstate(divide="ignore"):
             depth_metric = np.where(depth_sweep > 1e-10, 1.0 / depth_sweep, 0.0)
         e, _ = calc_error(depth_metric, s["depth_gt_metric"])
         errs.append(e)
-    return np.mean(np.stack(errs), axis=0)
+        valid = s["depth_gt"][0, ..., 0] > 0
+        cv = conf[valid]
+        conf_stats.append([cv.mean(), (cv >= 0.8).mean(), (cv >= 0.5).mean()])
+    return np.mean(np.stack(errs), axis=0), np.mean(np.stack(conf_stats), axis=0)
 
 
 def main() -> None:
@@ -82,14 +92,16 @@ def main() -> None:
         s["images"] = jnp.asarray(s["images"])
         s["cams"] = jnp.asarray(s["cams"])
 
-    fwd = jax.jit(
-        lambda p, i, c: multi_view_forward(p, i, c, cfg, upsample=False)["depth"]
-    )
+    def _fwd(p, i, c):
+        out = multi_view_forward(p, i, c, cfg, upsample=False, out_prob_map=True)
+        return out["depth"], out["confidence"]
+
+    fwd = jax.jit(_fwd)
 
     trained = load_params(args.params)
     random_p = init_params(jax.random.PRNGKey(0), cfg)
-    e_trained = evaluate(trained, cfg, scenes, fwd)
-    e_random = evaluate(random_p, cfg, scenes, fwd)
+    e_trained, c_trained = evaluate(trained, cfg, scenes, fwd)
+    e_random, c_random = evaluate(random_p, cfg, scenes, fwd)
 
     names = ERR_METRICS + ACC_METRICS
     print(f"\n{'metric':<22} {'random-init':>12} {'trained':>12}   (mean over "
@@ -97,11 +109,16 @@ def main() -> None:
           f"{args.max_h}x{args.max_w} D={args.max_d})")
     for n, r, t in zip(names, e_random, e_trained):
         print(f"{n:<22} {r:>12.5f} {t:>12.5f}")
+    conf_names = ["conf_mean", "conf_frac_tau08", "conf_frac_tau05"]
+    for n, r, t in zip(conf_names, c_random, c_trained):
+        print(f"{n:<22} {r:>12.5f} {t:>12.5f}")
     summary = {
         "scenes": args.scenes,
         "config": f"{args.view_num}v {args.max_h}x{args.max_w} D{args.max_d} {args.dtype}",
         "trained": {n: float(v) for n, v in zip(names, e_trained)},
         "random_init": {n: float(v) for n, v in zip(names, e_random)},
+        "confidence_trained": {n: float(v) for n, v in zip(conf_names, c_trained)},
+        "confidence_random_init": {n: float(v) for n, v in zip(conf_names, c_random)},
     }
     if args.json_out:
         with open(args.json_out, "w") as f:
@@ -111,6 +128,8 @@ def main() -> None:
         "mae_trained": round(float(e_trained[0]), 5),
         "inlier3_random": round(float(e_random[11]), 4),
         "inlier3_trained": round(float(e_trained[11]), 4),
+        "conf_mean_trained": round(float(c_trained[0]), 4),
+        "conf_frac_tau08_trained": round(float(c_trained[1]), 4),
     }))
 
 
