@@ -280,6 +280,7 @@ def run_eval_pc(
             next_i += 1
 
     t_load = t_device = t_write_wait = t_dispatch = 0.0
+    t_first_drain = None
     pending = None  # (scene idx, device outputs, samples, n_real) awaiting fetch
     trace = bool(os.environ.get("ATVSNET_DRIVER_TRACE"))
 
@@ -292,7 +293,7 @@ def run_eval_pc(
 
     def _drain(p):
         """Materialize a dispatched batch and hand its writes to the pool."""
-        nonlocal t_device
+        nonlocal t_device, t_first_drain
         t0 = time.time()
         si, out_dev, samples, n_real = p
         packed = np.asarray(out_dev["packed"], np.float32)
@@ -303,6 +304,8 @@ def run_eval_pc(
         )
         dt_drain = time.time() - t0
         t_device += dt_drain
+        if t_first_drain is None:
+            t_first_drain = dt_drain
         if trace:
             log.info(f"  drain: {dt_drain:.2f}s")
         meta = scene_meta[si]
@@ -372,6 +375,17 @@ def run_eval_pc(
             f"run blocked: load {t_load:.1f}s, dispatch {t_dispatch:.1f}s, "
             f"device+D2H {t_device:.1f}s, write-flush {t_write_wait:.1f}s"
         )
+        if t_first_drain is not None and t_device > t_first_drain:
+            # On lazily-compiling platforms (axon) a fresh-bucket XLA compile
+            # lands in the FIRST drain, not in dispatch — a 512x640 5-view D=128
+            # bucket compiles in ~6-10 min but then drains at ~0.2s/map
+            # (measured 2026-08-19; warm rerun 15.6s wall for 12 maps). Split it
+            # out so a slow cold run isn't misread as slow steady-state.
+            log.info(
+                f"  of which first drain {t_first_drain:.1f}s (includes any "
+                f"fresh-bucket compile), steady-state "
+                f"{t_device - t_first_drain:.1f}s"
+            )
     finally:
         load_pool.shutdown(wait=False)
         if sample_pool is not None:
