@@ -2,11 +2,16 @@
 
 The reference has no serving story — its drivers rebuild the TF graph and restore the
 checkpoint per process (reference atvsnet/example.py:51-302). Here a `DepthEstimator`
-holds device-resident parameters and ONE jit-compiled N-view program per shape bucket;
-every request routes to the best-fitting bucket and reuses its program (first call per
+holds device-resident parameters and one jit-compiled N-view program per shape bucket
+and input contract ("raw" frames normalized in-jit / "pre" already-normalized); every
+request routes to the best-fitting bucket and reuses its program (first call per
 bucket compiles — amortized by the persistent XLA cache — subsequent calls are pure
 device execution). Built for deployment loops: feed scenes as in-memory arrays or
-file paths, get metric depth + confidence back, already un-padded.
+file paths, get metric depth + confidence back, already un-padded. Transfers are
+tuned for tunneled/attached devices: raw uint8 frames up (1/4 the bytes, variance
+normalization in-jit), ONE packed f32 row per sample down (a fetch pays ~270ms fixed
+RPC setup on tunneled devices regardless of size — 4 fetches cost more than the whole
+480x896 forward).
 
     est = DepthEstimator(PipelineConfig(view_num=5), params_path="model.npz")
     est.add_bucket(max_h=256, max_w=320)  # optional second resolution bucket
@@ -92,7 +97,7 @@ class DepthEstimator:
                 params = init_params(jax.random.PRNGKey(seed), self.cfg)
         self.params = jax.device_put(params)
 
-        self._programs: dict[tuple, tuple[PipelineConfig, object]] = {}
+        self._programs: dict[tuple, tuple[PipelineConfig, dict]] = {}
         self.add_bucket()  # base bucket from self.cfg
 
     # ---- bucket registry -------------------------------------------------
@@ -101,37 +106,61 @@ class DepthEstimator:
         """Register (and lazily compile) a shape bucket: cfg.replace(**overrides).
 
         Returns the bucket's config. Re-registering an existing bucket is a no-op
-        (the compiled program is kept).
+        (the compiled programs are kept). Each bucket carries two jit wrappers
+        (compiled lazily on first use): "raw" for deployment requests whose frames
+        are normalized in-jit, "pre" for preprocessed=True requests whose images
+        are already normalized.
         """
         c = self.cfg.replace(**overrides) if overrides else self.cfg
         key = _bucket_key(c)
         if key not in self._programs:
-            self._programs[key] = (c, self._build_fwd(c))
+            self._programs[key] = (
+                c,
+                {
+                    "raw": self._build_fwd(c, centered=False),
+                    "pre": self._build_fwd(c, centered=True),
+                },
+            )
         return self._programs[key][0]
 
     @property
     def buckets(self) -> list[PipelineConfig]:
         return [c for c, _ in self._programs.values()]
 
-    def _build_fwd(self, c: PipelineConfig):
-        import jax
+    def _build_fwd(self, c: PipelineConfig, centered: bool):
+        """One jitted program: normalize-on-device (unless `centered`), forward,
+        metric conversion, and ONE flat f32 output row per sample.
 
-        from atvsnet_tpu.models.atvsnet import multi_view_forward, sweep_to_depth
+        Tunneled-device D2H pays a fixed ~270ms RPC setup PER FETCHED ARRAY
+        regardless of size (same measurement as cli/eval_pointcloud._prune), so
+        the 2-4 output maps ship as a single (B, N) fetch and are sliced back on
+        the host by _unpack — measured p50 1.53s -> sub-second per request at the
+        480x896 flagship bucket. centered=False additionally ships the frames RAW
+        (typically uint8, 1/4 the H2D bytes) and variance-normalizes in-jit
+        (models.atvsnet.center_images), like the eval driver."""
+        import jax
+        import jax.numpy as jnp
+
+        from atvsnet_tpu.models.atvsnet import (
+            center_images,
+            multi_view_forward,
+            sweep_to_depth,
+        )
         from atvsnet_tpu.models.tvsnet import two_view_forward
 
         with_conf = self.with_confidence and c.view_num > 2
 
-        def _prune(out):
-            # metric conversion inside the jitted program: no extra host/device
-            # round trip of the full-resolution maps per request
-            keep = {
-                "depth": sweep_to_depth(out["depth"], c.inverse_depth),
-                "depth_up": sweep_to_depth(out["depth_up"], c.inverse_depth),
-            }
+        def _pack(out):
+            parts = [
+                sweep_to_depth(out["depth"], c.inverse_depth),
+                sweep_to_depth(out["depth_up"], c.inverse_depth),
+            ]
             if with_conf and "confidence" in out:
-                keep["confidence"] = out["confidence"]
-                keep["confidence_up"] = out["confidence_up"]
-            return keep
+                parts += [out["confidence"], out["confidence_up"]]
+            b = parts[0].shape[0]
+            return jnp.concatenate(
+                [p.astype(jnp.float32).reshape(b, -1) for p in parts], axis=1
+            )
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -148,14 +177,18 @@ class DepthEstimator:
                 # unsharded (predict() tiles the sample to the data extent)
 
                 def fwd2(p, images, cams):
-                    return _prune(two_view_forward(p, images, cams, c))
+                    if not centered:
+                        images = center_images(images)
+                    return _pack(two_view_forward(p, images, cams, c))
 
                 return jax.jit(fwd2, in_shardings=shardings)
 
             from atvsnet_tpu.parallel.pipeline import multi_view_forward_spmd
 
             def fwd(p, images, cams):
-                return _prune(
+                if not centered:
+                    images = center_images(images)
+                return _pack(
                     multi_view_forward_spmd(p, images, cams, c, mesh=mesh, out_prob_map=with_conf)
                 )
 
@@ -164,14 +197,38 @@ class DepthEstimator:
         if c.view_num == 2:
 
             def fwd(p, images, cams):
-                return _prune(two_view_forward(p, images, cams, c))
+                if not centered:
+                    images = center_images(images)
+                return _pack(two_view_forward(p, images, cams, c))
 
             return jax.jit(fwd)
 
         def fwd(p, images, cams):
-            return _prune(multi_view_forward(p, images, cams, c, out_prob_map=with_conf))
+            if not centered:
+                images = center_images(images)
+            return _pack(multi_view_forward(p, images, cams, c, out_prob_map=with_conf))
 
         return jax.jit(fwd)
+
+    def _unpack(self, c: PipelineConfig, packed) -> list[dict]:
+        """Host side of _build_fwd's _pack: slice the (B, N) row back into maps."""
+        packed = np.asarray(packed, np.float32)
+        H, W = c.max_h, c.max_w
+        h, w = int(H * c.sample_scale), int(W * c.sample_scale)
+        with_conf = self.with_confidence and c.view_num > 2
+        names = ["depth", "depth_up"] + (
+            ["confidence", "confidence_up"] if with_conf else []
+        )
+        shapes = [(h, w), (H, W)] * (2 if with_conf else 1)
+        results = []
+        for b in range(packed.shape[0]):
+            row, off, maps = packed[b], 0, {}
+            for name, shape in zip(names, shapes):
+                size = shape[0] * shape[1]
+                maps[name] = row[off : off + size].reshape(shape)
+                off += size
+            results.append(maps)
+        return results
 
     def _data_extent(self) -> int:
         """Size of the mesh's 'data' axis (1 without a mesh): single-sample requests
@@ -196,11 +253,14 @@ class DepthEstimator:
     # ---- inference -------------------------------------------------------
 
     def warmup(self, all_buckets: bool = False) -> float:
-        """Compile (and once-execute) the program(s) on synthetic inputs; returns seconds."""
+        """Compile (and once-execute) the deployment ("raw" uint8-input) program(s)
+        on synthetic inputs; returns seconds."""
         t0 = time.perf_counter()
-        for c, f in list(self._programs.values()):
+        for c, fwds in list(self._programs.values()):
             rng = np.random.RandomState(0)
-            images = rng.rand(1, c.view_num, c.max_h, c.max_w, 3).astype(np.float32)
+            images = rng.randint(
+                0, 255, size=(1, c.view_num, c.max_h, c.max_w, 3)
+            ).astype(np.uint8)
             cam = np.zeros((2, 4, 4), np.float32)
             cam[0] = np.eye(4)
             cam[1, :3, :3] = np.array(
@@ -212,8 +272,8 @@ class DepthEstimator:
             if nd > 1:
                 images = np.concatenate([images] * nd, axis=0)
                 cams = np.concatenate([cams] * nd, axis=0)
-            out = f(self.params, self._jnp.asarray(images), self._jnp.asarray(cams))
-            np.asarray(out["depth"])
+            out = fwds["raw"](self.params, self._jnp.asarray(images), self._jnp.asarray(cams))
+            np.asarray(out)
             if not all_buckets:
                 break
         return time.perf_counter() - t0
@@ -238,7 +298,7 @@ class DepthEstimator:
           bucket         (max_h, max_w) of the program that served the request
         """
         h, w = images[0].shape[:2]
-        c, fwd = self._route(h, w)
+        c, fwds = self._route(h, w)
         if preprocessed:
             # preprocessed inputs must match a compiled bucket exactly: off-bucket
             # shapes would silently compile a new program per shape, and
@@ -267,12 +327,16 @@ class DepthEstimator:
                 "cams": np.stack(cams)[None].astype(np.float32),
                 "valid_hw": (images[0].shape[0], images[0].shape[1]),
             }
+            fwd = fwds["pre"]
         else:
+            # center=False: the raw (typically uint8) stack ships as-is and the
+            # "raw" program variance-normalizes in-jit — 1/4 the H2D bytes
             batch = prepare_mvs_sample(
                 list(images), list(cams), c.view_num, max_d=c.max_d,
                 max_h=c.max_h, max_w=c.max_w, sample_scale=c.sample_scale,
-                inverse_depth=c.inverse_depth,
+                inverse_depth=c.inverse_depth, center=False,
             )
+            fwd = fwds["raw"]
         jnp = self._jnp
         nd = self._data_extent()
         if nd > 1:
@@ -281,23 +345,21 @@ class DepthEstimator:
             batch["images"] = np.concatenate([batch["images"]] * nd, axis=0)
             batch["cams"] = np.concatenate([batch["cams"]] * nd, axis=0)
         t0 = time.perf_counter()
-        out = fwd(self.params, jnp.asarray(batch["images"]), jnp.asarray(batch["cams"]))
-        depth = np.asarray(out["depth"], np.float32)  # already metric (fwd converts)
+        packed = fwd(self.params, jnp.asarray(batch["images"]), jnp.asarray(batch["cams"]))
+        maps = self._unpack(c, packed)[0]  # one fetch; sample 0 of any replicas
         runtime = time.perf_counter() - t0
 
         vh, vw = batch["valid_hw"]
         s = c.sample_scale
         res = {
-            "depth": depth[0, : int(vh * s), : int(vw * s), 0],
-            "depth_up": np.asarray(out["depth_up"], np.float32)[0, :vh, :vw, 0],
+            "depth": maps["depth"][: int(vh * s), : int(vw * s)],
+            "depth_up": maps["depth_up"][:vh, :vw],
             "runtime_s": runtime,
             "bucket": (c.max_h, c.max_w),
         }
-        if "confidence" in out:
-            res["confidence"] = np.asarray(out["confidence"], np.float32)[
-                0, : int(vh * s), : int(vw * s), 0
-            ]
-            res["confidence_up"] = np.asarray(out["confidence_up"], np.float32)[0, :vh, :vw, 0]
+        if "confidence" in maps:
+            res["confidence"] = maps["confidence"][: int(vh * s), : int(vw * s)]
+            res["confidence_up"] = maps["confidence_up"][:vh, :vw]
         return res
 
     def predict_many(
@@ -323,12 +385,12 @@ class DepthEstimator:
             return []
         h = max(imgs[0].shape[0] for imgs, _ in requests)
         w = max(imgs[0].shape[1] for imgs, _ in requests)
-        c, fwd = self._route(h, w)
+        c, fwds = self._route(h, w)
         prepared = [
             prepare_mvs_sample(
                 list(imgs), list(cms), c.view_num, max_d=c.max_d,
                 max_h=c.max_h, max_w=c.max_w, sample_scale=c.sample_scale,
-                inverse_depth=c.inverse_depth,
+                inverse_depth=c.inverse_depth, center=False,
             )
             for imgs, cms in requests
         ]
@@ -341,26 +403,24 @@ class DepthEstimator:
 
         jnp = self._jnp
         t0 = time.perf_counter()
-        out = fwd(self.params, jnp.asarray(images), jnp.asarray(cams))
-        depth = np.asarray(out["depth"], np.float32)
+        packed = fwds["raw"](self.params, jnp.asarray(images), jnp.asarray(cams))
+        all_maps = self._unpack(c, packed)  # one fetch for the whole batch
         runtime = time.perf_counter() - t0
 
-        depth_up = np.asarray(out["depth_up"], np.float32)
-        conf = np.asarray(out["confidence"], np.float32) if "confidence" in out else None
-        conf_up = np.asarray(out["confidence_up"], np.float32) if conf is not None else None
         s = c.sample_scale
         results = []
         for b in range(n_real):
             vh, vw = prepared[b]["valid_hw"]
+            maps = all_maps[b]
             res = {
-                "depth": depth[b, : int(vh * s), : int(vw * s), 0],
-                "depth_up": depth_up[b, :vh, :vw, 0],
+                "depth": maps["depth"][: int(vh * s), : int(vw * s)],
+                "depth_up": maps["depth_up"][:vh, :vw],
                 "runtime_s": runtime,
                 "bucket": (c.max_h, c.max_w),
             }
-            if conf is not None:
-                res["confidence"] = conf[b, : int(vh * s), : int(vw * s), 0]
-                res["confidence_up"] = conf_up[b, :vh, :vw, 0]
+            if "confidence" in maps:
+                res["confidence"] = maps["confidence"][: int(vh * s), : int(vw * s)]
+                res["confidence_up"] = maps["confidence_up"][:vh, :vw]
             results.append(res)
         return results
 
