@@ -129,6 +129,12 @@ def run_eval_pc(
         view_num=view_num, max_d=max_d, max_h=max_h, max_w=max_w, compute_dtype=compute_dtype,
         act_quant=act_quant, warp_quant=warp_quant,
     )
+    log.info(
+        f"numerics: compute_dtype={compute_dtype} act_quant={act_quant} "
+        f"warp_quant={warp_quant}"
+        + ("" if act_quant == "none" and warp_quant == "none"
+           else " (quantized mode; pass --act-quant none --warp-quant none for the exact path)")
+    )
 
     if params_path:
         if not os.path.exists(params_path):
@@ -418,17 +424,17 @@ def main() -> None:
                     help="render the viz PNG from the 4x-upsampled map like the "
                          "reference (costs the full upsampled soft-argmin chain; "
                          "the PFM outputs are identical either way)")
-    ap.add_argument("--act-quant", default="int8s",
+    ap.add_argument("--act-quant", default="none",
                     choices=["none", "int8", "int8s", "int8mxu"],
                     help="int8 activation storage/compute for the volume links "
                          "(PipelineConfig.act_quant; accuracy-gated "
                          "in tools/int8_accuracy_probe.py, inference-only). "
-                         "Default int8s+warp int8: the fastest accuracy-cleared "
-                         "mode on the v5e (combined probe mean |d-depth| 0.0018 "
-                         "sweep units, under bf16's own 0.0037 vs fp32 — "
-                         "ROUND4.md); pass none for the exact bf16 path "
-                         "(run_eval_pc's API default, which tests pin)")
-    ap.add_argument("--warp-quant", default="int8", choices=["none", "int8"],
+                         "Default none = the exact reference-parity path; "
+                         "int8s + --warp-quant int8 is the fastest "
+                         "accuracy-cleared mode on the v5e (combined probe mean "
+                         "|d-depth| 0.0018 sweep units, under bf16's own 0.0037 "
+                         "vs fp32 — ROUND4.md) and is what bench.py measures")
+    ap.add_argument("--warp-quant", default="none", choices=["none", "int8"],
                     help="int8 storage for the warped feature volumes "
                          "(PipelineConfig.warp_quant; independent of --act-quant)")
     args = ap.parse_args()

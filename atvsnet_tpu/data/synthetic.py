@@ -90,8 +90,19 @@ def render_multiplane_views(
     spacing: float = 0.09,
     rot_step: float = 0.035,
     jitter: bool = True,
+    num_spheres: int = 0,
 ):
-    """Core renderer: n_images photo-consistent views of a random plane envelope.
+    """Core renderer: n_images photo-consistent views of a random plane envelope,
+    optionally with `num_spheres` textured spheres floating in front of it.
+
+    Spheres (VERDICT r4 item 2) add exactly what the plane envelope cannot:
+    CURVED surfaces (depth varies quadratically along the surface, so no single
+    sweep plane fits a patch) and OCCLUSION BOUNDARIES between objects (a sphere
+    edge occludes different background in different views — the geometry the
+    refinement/visual-hull stages exist for, reference model.py:227-339).
+    Sphere parameters are drawn AFTER all plane draws so num_spheres=0 is
+    bit-identical to the pre-r5 renderer (the committed r4 checkpoints' train and
+    held-out scene streams are unchanged).
 
     Returns a dict: images (N, H, W, 3) float32 in [0,1], K_full (3,3) full-res
     intrinsics, Rs (N,3,3), ts (N,3) extrinsics, depths (N, H, W) float32 metric
@@ -128,8 +139,29 @@ def render_multiplane_views(
         )
     tex_freq = rng.uniform(28.0, 46.0, size=num_planes)
 
+    # spheres: drawn after every plane draw (num_spheres=0 leaves the RNG stream —
+    # and so every existing seed's scene — untouched). Centered in the front half
+    # of the depth range on rays through the image so they are actually seen.
+    if num_spheres > 0:
+        span = depth_max - depth_min
+        sp_rad = rng.uniform(0.08, 0.22, num_spheres) * span
+        # place by the FRONT surface depth: strictly closer than the plane
+        # envelope's band (z0 >= depth_min + 0.15 span) so each sphere is
+        # guaranteed to occlude background in view 0 regardless of the plane draws
+        sp_front = rng.uniform(0.02 * span, 0.12 * span, num_spheres) + depth_min
+        sp_z = sp_front + sp_rad
+        sp_xy = rng.uniform(-0.3, 0.3, size=(num_spheres, 2)) * sp_z[:, None]
+        sp_ctr = np.concatenate([sp_xy, sp_z[:, None]], axis=1)      # (S, 3)
+        sp_tex = rng.rand(num_spheres, tex_res, tex_res, 3).astype(np.float32)
+        for _ in range(2):
+            sp_tex = 0.5 * sp_tex + 0.125 * (
+                np.roll(sp_tex, 1, 1) + np.roll(sp_tex, -1, 1)
+                + np.roll(sp_tex, 1, 2) + np.roll(sp_tex, -1, 2)
+            )
+        sp_freq = rng.uniform(28.0, 46.0, num_spheres)
+
     def trace(Rv, tv, height, width, Kmat):
-        """Intersect all pixels' rays with the plane envelope.
+        """Intersect all pixels' rays with the plane envelope (+ spheres).
 
         Returns (color (h, w, 3), depth (h, w) camera-frame metric depth)."""
         Cv = -Rv.T @ tv
@@ -142,19 +174,45 @@ def render_multiplane_views(
         denom = dirs @ n.T                                           # (h, w, P)
         s = (z0[None, None] - (n @ Cv)[None, None]) / np.where(denom == 0, 1e-12, denom)
         s = np.where(s > 1e-6, s, np.inf)
+        if num_spheres > 0:
+            # ray-sphere: |Cv + s d - ctr|^2 = r^2, near root; occlusion falls out
+            # of the global argmin below
+            oc = Cv[None] - sp_ctr                                   # (S, 3)
+            a_q = np.sum(dirs * dirs, axis=-1)[..., None]            # (h, w, 1)
+            b_q = 2.0 * (dirs @ oc.T)                                # (h, w, S)
+            c_q = (np.sum(oc * oc, axis=-1) - sp_rad**2)[None, None]  # (1, 1, S)
+            disc = b_q * b_q - 4.0 * a_q * c_q
+            sqrt_disc = np.sqrt(np.maximum(disc, 0.0))
+            s_sp = (-b_q - sqrt_disc) / (2.0 * a_q)
+            s_sp = np.where((disc > 0.0) & (s_sp > 1e-6), s_sp, np.inf)
+            s = np.concatenate([s, s_sp], axis=-1)                   # (h, w, P+S)
         pick = np.argmin(s, axis=-1)                                 # (h, w)
         s_hit = np.take_along_axis(s, pick[..., None], axis=-1)[..., 0]
         s_hit = np.where(np.isfinite(s_hit), s_hit, depth_max)
         X = Cv[None, None] + s_hit[..., None] * dirs                 # (h, w, 3)
         depth = (X @ Rv.T + tv)[..., 2]                              # camera z
         color = np.zeros(X.shape[:2] + (3,), np.float32)
-        for p in range(num_planes):
+        for p in range(num_planes + num_spheres):
             m = pick == p
             if not m.any():
                 continue
-            u = X[..., 0][m] * tex_freq[p]
-            vv = X[..., 1][m] * tex_freq[p]
-            color[m] = _bilinear_wrap(texs[p], u, vv)
+            if p < num_planes:
+                tex, freq = texs[p], tex_freq[p]
+                u = X[..., 0][m] * freq
+                vv = X[..., 1][m] * freq
+            else:
+                # sphere texture = function of the surface point's direction from
+                # the center (view-independent, so photo-consistent): azimuth /
+                # polar angles scaled by the texture frequency
+                sidx = p - num_planes
+                tex, freq = sp_tex[sidx], sp_freq[sidx]
+                rel = X[m] - sp_ctr[sidx]
+                u = np.arctan2(rel[..., 1], rel[..., 0]) * freq * 0.15 * sp_rad[sidx]
+                vv = np.arccos(
+                    np.clip(rel[..., 2] / np.maximum(
+                        np.linalg.norm(rel, axis=-1), 1e-12), -1.0, 1.0)
+                ) * freq * 0.15 * sp_rad[sidx]
+            color[m] = _bilinear_wrap(tex, u, vv)
         return color, depth.astype(np.float32)
 
     images = np.zeros((n_images, H, W, 3), np.float32)
@@ -185,8 +243,11 @@ def render_multiplane_scene(
     depth_max: float = 2.0,
     tex_res: int = 96,
     noise: float = 0.0,
+    num_spheres: int = 0,
 ):
-    """PHOTOMETRICALLY CONSISTENT multi-view renders of a piecewise-planar world.
+    """PHOTOMETRICALLY CONSISTENT multi-view renders of a piecewise-planar world
+    (optionally with `num_spheres` floating spheres — curved surfaces + occlusion
+    boundaries; see render_multiplane_views).
 
     Unlike synthetic_scene (independent random images — fine for smoke tests,
     useless as supervision), every view here images the SAME textured surface
@@ -213,6 +274,7 @@ def render_multiplane_scene(
     r = render_multiplane_views(
         n_images=view_num, H=H, W=W, seed=seed, num_planes=num_planes,
         depth_min=depth_min, depth_max=depth_max, tex_res=tex_res,
+        num_spheres=num_spheres,
     )
     V = view_num
     if inverse_depth:

@@ -45,8 +45,8 @@ _FLAT_GATHER_MAX_TABLE_BYTES = 24 * 480 * 896 * 16 * 4
 
 def _bilinear_sample_all_views(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
                                flat: bool):
-    """Sample src (V, H, W, C) at float pixel coords x/y (V, H, W) — view v's
-    coordinate grid samples view v's map — with CUDA tex2D border behavior
+    """Sample src (V, H, W, C) at float pixel coords x/y (V, ...pixel axes) —
+    view v's coordinate grid samples view v's map — with CUDA tex2D border behavior
     (coordinates clamped at the image border; in-bounds projection is enforced
     by the caller's bounds mask).
 
@@ -72,7 +72,12 @@ def _bilinear_sample_all_views(src: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     table = _pack_corners(src)                              # (V, H, W, 4C)
     if flat:
         flat_table = table.reshape(V * H * W, 4 * C)
-        idx = (jnp.arange(V, dtype=jnp.int32) * (H * W))[:, None, None] + y0 * W + x0
+        # view offset broadcast over whatever pixel-axis rank the caller uses:
+        # (V, H, W) for the dense grid, (V, N) for the compacted pixel lists
+        view_off = (jnp.arange(V, dtype=jnp.int32) * (H * W)).reshape(
+            (V,) + (1,) * (x.ndim - 1)
+        )
+        idx = view_off + y0 * W + x0
         g = jnp.take(flat_table, idx.reshape(-1), axis=0, mode="clip")
         g = g.reshape(x.shape + (4 * C,))
     else:
@@ -299,6 +304,138 @@ def _fuse_ref_chunk(ref_idxs, depths, images, P, M_inv, centers, f,
     return jax.vmap(one)(ref_idxs)
 
 
+def _fuse_one_ref_sparse_impl(
+    ref_idx: jnp.ndarray,
+    idx: jnp.ndarray,       # (N,) int32 flat pixel indices into the ref depth map
+    n_valid: jnp.ndarray,   # () int32: rows >= n_valid are padding
+    depths: jnp.ndarray,    # (V, H, W) metric depth, 0 = invalid
+    images: jnp.ndarray,    # (V, H, W, 3)
+    P: jnp.ndarray,
+    M_inv: jnp.ndarray,
+    centers: jnp.ndarray,
+    f: jnp.ndarray,
+    disp_thresh: float,
+    num_consistent: int,
+    normals: jnp.ndarray | None = None,
+    normal_thresh_rad: float = float(np.pi * 2),
+    flat_sample: bool = True,
+):
+    """Occupancy-compacted variant of _fuse_one_ref_impl: the pixel axis is a
+    padded list of VALID (depth > 0) reference pixels instead of the dense H x W
+    grid, so the gather-descriptor-bound check loop pays per valid pixel, not per
+    pixel. The SAMPLED tables stay dense (other refs still read every pixel of
+    this view's maps), so filtered pixels never affect anyone's checks and the
+    emitted point set is identical to the dense path by construction — the check
+    math below is the same f32 ops on the same values, just gathered instead of
+    laid out on the grid.
+    """
+    V, H, W = depths.shape
+    N = idx.shape[0]
+    images = images.astype(jnp.float32)
+    depth_r = jnp.take(jnp.take(depths, ref_idx, axis=0).reshape(-1), idx)  # (N,)
+    Minv_r = jnp.take(M_inv, ref_idx, axis=0)
+    P4_r = jnp.take(P, ref_idx, axis=0)[:, 3]
+    C_r = jnp.take(centers, ref_idx, axis=0)
+    f_r = jnp.take(f, ref_idx, axis=0)
+    n_ref = (
+        None
+        if normals is None
+        else jnp.take(jnp.take(normals, ref_idx, axis=0).reshape(-1, 3), idx, axis=0)
+    )  # (N, 3)
+
+    # back-project at INTEGER pixel coords recovered from the flat index
+    xs = (idx % W).astype(jnp.float32)
+    ys = (idx // W).astype(jnp.float32)
+    pt_h = jnp.stack(
+        [depth_r * xs - P4_r[0], depth_r * ys - P4_r[1], depth_r - P4_r[2]], -1
+    )
+    X = jnp.einsum("ij,nj->ni", Minv_r, pt_h, precision=_HI)  # (N, 3)
+
+    proj = (
+        jnp.einsum("vij,nj->vni", P[:, :, :3], X, precision=_HI)
+        + P[:, None, :, 3]
+    )                                                       # (V, N, 3)
+    z = proj[..., 2]
+    px = proj[..., 0] / z
+    py = proj[..., 1] / z
+    not_ref = jnp.arange(V, dtype=ref_idx.dtype)[:, None] != ref_idx
+    in_bounds = (px >= 0) & (px < W) & (py >= 0) & (py < H) & not_ref
+
+    src = [depths[..., None], images]
+    if normals is not None:
+        src.append(normals)
+    sampled = _bilinear_sample_all_views(
+        jnp.concatenate(src, axis=-1), px, py, flat=flat_sample
+    )
+    z_i = sampled[..., 0]
+    rgb_i = sampled[..., 1:4]
+
+    baseline = jnp.linalg.norm(C_r[None] - centers, axis=-1)  # (V,)
+    disp = f_r * baseline[:, None] / z
+    disp_i = f_r * baseline[:, None] / z_i
+    rel = jnp.abs(disp - disp_i) / disp
+    ok_all = in_bounds & (rel < disp_thresh)
+
+    if normals is None:
+        rgb_all = jnp.where(ok_all[..., None], rgb_i, 0.0)
+        nrm_all = None
+    else:
+        n_i = sampled[..., 4:7]
+        ang = jnp.arccos(jnp.sum(n_i * n_ref[None], axis=-1))
+        ang = jnp.where(jnp.isnan(ang), 0.0, ang)
+        ok_all = ok_all & (ang < normal_thresh_rad)
+        keep = ok_all[..., None]
+        rgb_all = jnp.where(keep, rgb_i, 0.0)
+        nrm_all = jnp.where(keep, n_i, 0.0)
+    count = jnp.sum(ok_all.astype(jnp.int32), axis=0)       # (N,)
+    ref_rgb = jnp.take(
+        jnp.take(images, ref_idx, axis=0).reshape(-1, 3), idx, axis=0
+    )                                                       # (N, 3)
+    avg_rgb = (ref_rgb + jnp.sum(rgb_all, axis=0)) / (count[..., None] + 1.0)
+
+    # padding rows (idx repeats of the last valid pixel) are masked out here;
+    # depth_r > 0 is true by construction of the compacted list but kept so the
+    # gate reads identically to the dense path
+    pad_mask = jnp.arange(N, dtype=jnp.int32) < n_valid
+    emit = (count >= num_consistent) & (depth_r > 0) & pad_mask  # (N,)
+    if normals is None:
+        return emit, X, avg_rgb, None
+    avg_nrm = (n_ref + jnp.sum(nrm_all, axis=0)) / (count[..., None] + 1.0)
+    return emit, X, avg_rgb, avg_nrm
+
+
+@partial(jax.jit, static_argnames=("disp_thresh", "num_consistent",
+                                   "normal_thresh_rad", "flat_sample"))
+def _fuse_ref_chunk_sparse(ref_idxs, idx, n_valid, depths, images, P, M_inv,
+                           centers, f, disp_thresh, num_consistent, normals=None,
+                           normal_thresh_rad=float(np.pi * 2), flat_sample=True):
+    """Chunked sparse fusion pass: ref_idxs (R,), idx (R, N) padded valid-pixel
+    lists, n_valid (R,). The pipeline path returns one packed (R, N, 4) uint8
+    array [emit, r, g, b]; the normals path returns (emit, X, rgb8, nrm) with a
+    leading (R, N) pixel-list axis instead of (R, H, W)."""
+    def one(r, i, nv):
+        emit, X, rgb, nrm = _fuse_one_ref_sparse_impl(
+            r, i, nv, depths, images, P, M_inv, centers, f,
+            disp_thresh, num_consistent, normals, normal_thresh_rad,
+            flat_sample=flat_sample,
+        )
+        rgb8 = jnp.clip(rgb, 0.0, 255.0).astype(jnp.uint8)
+        if nrm is None:
+            return jnp.concatenate([emit[..., None].astype(jnp.uint8), rgb8], axis=-1)
+        return emit, X, rgb8, nrm
+
+    return jax.vmap(one)(ref_idxs, idx, n_valid)
+
+
+def _sparse_bucket(max_valid: int, hw: int) -> int:
+    """Padded pixel-list length for a chunk: max valid count rounded UP to a
+    multiple of hw/8 (floor 2^15), clamped to hw — at most 8 distinct program
+    shapes per scene resolution, so occupancy changes between chunks do not
+    recompile per chunk."""
+    g = max(hw // 8, 1 << 15)
+    return int(min(hw, -(-max_valid // g) * g)) if max_valid > 0 else min(hw, g)
+
+
 def fuse_depth_maps(
     depths: np.ndarray,
     images: np.ndarray,
@@ -311,6 +448,7 @@ def fuse_depth_maps(
     depth_max: float | None = None,
     ref_chunk: int = 4,
     P_matrices: np.ndarray | None = None,
+    compact: str = "auto",
 ):
     """Fuse all views' depth maps into one point set.
 
@@ -330,6 +468,15 @@ def fuse_depth_maps(
       reference parses --depth_min/--depth_max (main.cpp:303-309) and converts them
       to disparity bounds (main.cpp:717-718), but the kernel consumers are commented
       out (fusibile.cu:364-365) — there they are inert; here they filter.
+    - compact: 'auto' | 'always' | 'never'. Occupancy compaction: process only the
+      VALID (depth > 0) reference pixels per ref (padded lists, bucketed to <= 8
+      program shapes per resolution) instead of the dense grid, cutting the
+      gather-descriptor-bound check loop by ~1/valid-fraction. Exactness-preserving
+      (filtered pixels never emit and the sampled tables stay dense, so they never
+      affect other refs' checks); 'auto' compacts a chunk whenever its padded
+      bucket is smaller than the dense grid. The CUDA kernel pays ~nothing for
+      dead per-pixel threads (early returns like used_pixels at fusibile.cu:156
+      just idle the lane); this is the TPU equivalent of that early exit.
     """
     V = depths.shape[0]
     if (cams is None) == (P_matrices is None):
@@ -360,36 +507,87 @@ def fuse_depth_maps(
 
     R = max(1, min(int(ref_chunk), V))
     n_chunks = -(-V // R)
+    H, W = depths.shape[1], depths.shape[2]
+    hw = H * W
 
     # double-precision camera geometry for the host back-projection (the device
     # keeps its own f32 copy for the consistency checks; points are emitted from
     # THIS side now, at higher precision than the old device-transferred X)
     P4_64 = P64[:, :, 3]
 
+    if compact not in ("auto", "always", "never"):
+        raise ValueError(f"compact must be auto/always/never, got {compact!r}")
+    # per-ref valid-pixel lists (row-major order, so emitted points keep the
+    # dense path's ordering); computed once, chunk padding decided per chunk
+    valid_idx = None
+    if compact != "never":
+        valid_idx = [np.flatnonzero(depths[r].reshape(-1) > 0).astype(np.int32)
+                     for r in range(V)]
+
+    flat_sample = (
+        V * hw * 4 * (4 if normals is None else 7) * 4
+        <= _FLAT_GATHER_MAX_TABLE_BYTES
+    )
+
     def dispatch(ci):
         # pad the tail chunk by repeating the last ref; extras dropped on pull
         idxs = np.minimum(np.arange(ci * R, ci * R + R), V - 1).astype(np.int32)
+        if valid_idx is not None:
+            counts = np.array([valid_idx[r].shape[0] for r in idxs], np.int64)
+            bucket = _sparse_bucket(int(counts.max()), hw)
+        use_sparse = valid_idx is not None and (compact == "always" or bucket < hw)
+        if use_sparse:
+            # padding repeats index 0; the device masks rows >= n_valid
+            idx_pad = np.zeros((R, bucket), np.int32)
+            for j, r in enumerate(idxs):
+                idx_pad[j, : counts[j]] = valid_idx[r]
+            out = _fuse_ref_chunk_sparse(
+                jnp.asarray(idxs), jnp.asarray(idx_pad),
+                jnp.asarray(counts.astype(np.int32)),
+                depths_j, images_j, P_j, Mi_j, C_j, f_j,
+                disp_thresh=float(disp_thresh),
+                num_consistent=int(num_consistent),
+                normals=normals_j,
+                normal_thresh_rad=float(np.deg2rad(normal_thresh_deg)),
+                flat_sample=flat_sample,
+            )
+            return out, idxs, min(V - ci * R, R), idx_pad
         out = _fuse_ref_chunk(
             jnp.asarray(idxs), depths_j, images_j, P_j, Mi_j, C_j, f_j,
             disp_thresh=float(disp_thresh), num_consistent=int(num_consistent),
             normals=normals_j, normal_thresh_rad=float(np.deg2rad(normal_thresh_deg)),
-            flat_sample=(
-                V * depths.shape[1] * depths.shape[2]
-                * 4 * (4 if normals is None else 7) * 4
-                <= _FLAT_GATHER_MAX_TABLE_BYTES
-            ),
+            flat_sample=flat_sample,
         )
-        return out, idxs, min(V - ci * R, R)
+        return out, idxs, min(V - ci * R, R), None
 
     pts_out, rgb_out, nrm_out = [], [], []
 
-    def pull(out, idxs, n_valid):
+    def _backproject_rows(r: int, pix: np.ndarray) -> np.ndarray:
+        """Host float64 back-projection of flat pixel indices pix of ref r —
+        the same X = Minv @ (d*[x,y,1] - P4) as native.compact_backproject."""
+        d = depths[r].reshape(-1)[pix].astype(np.float64)
+        pt = np.stack(
+            [d * (pix % W) - P4_64[r][0], d * (pix // W) - P4_64[r][1], d - P4_64[r][2]],
+            -1,
+        )
+        pts = (pt @ Minv64[r].T).astype(np.float32)
+        pts[~np.isfinite(pts)] = 0.0
+        return pts
+
+    def pull(out, idxs, n_valid, idx_pad):
         if normals is None:
-            # ONE (R, H, W, 4) uint8 D2H pull; compaction back-projects world
-            # coordinates from the host-resident (filtered) depth maps
+            # ONE (R, hw-or-bucket, 4) uint8 D2H pull; compaction back-projects
+            # world coordinates from the host-resident (filtered) depth maps
             packed = np.asarray(out)
             for j in range(n_valid):
                 r = int(idxs[j])
+                if idx_pad is not None:
+                    rows = packed[j].reshape(-1, 4)
+                    sel = np.flatnonzero(rows[:, 0])
+                    if sel.shape[0]:
+                        pts_out.append(_backproject_rows(r, idx_pad[j][sel]))
+                        rgb_out.append(rows[sel, 1:4].copy())
+                    continue
                 pts, cols = compact_backproject(packed[j], depths[r], Minv64[r], P4_64[r])
                 if pts.shape[0]:
                     pts_out.append(pts)
@@ -397,7 +595,8 @@ def fuse_depth_maps(
             return
         # generic gipuma surface (normals requested): transfer emit/X/rgb/nrm and
         # compact on host (C++/OpenMP when built; non-finite coordinates zeroed
-        # per displayUtils.h:113-118)
+        # per displayUtils.h:113-118) — shape-agnostic over dense (R, H, W) vs
+        # sparse (R, bucket) pixel axes
         emit_np = np.asarray(out[0])[:n_valid]
         X_np = np.asarray(out[1])[:n_valid]
         rgb_np = np.asarray(out[2])[:n_valid]

@@ -252,9 +252,15 @@ class DepthEstimator:
 
     # ---- inference -------------------------------------------------------
 
-    def warmup(self, all_buckets: bool = False) -> float:
+    def warmup(self, all_buckets: bool = False, include_pre: bool = False) -> float:
         """Compile (and once-execute) the deployment ("raw" uint8-input) program(s)
-        on synthetic inputs; returns seconds."""
+        on synthetic inputs; returns seconds.
+
+        include_pre=True also compiles the "pre" (preprocessed=True) wrapper for
+        each warmed bucket; without it, preprocessed requests pay their compile
+        lazily on first use (the two wrappers share the core program, so the
+        incremental cost is the thin normalization-free entry, not a full
+        recompile)."""
         t0 = time.perf_counter()
         for c, fwds in list(self._programs.values()):
             rng = np.random.RandomState(0)
@@ -274,6 +280,13 @@ class DepthEstimator:
                 cams = np.concatenate([cams] * nd, axis=0)
             out = fwds["raw"](self.params, self._jnp.asarray(images), self._jnp.asarray(cams))
             np.asarray(out)
+            if include_pre:
+                out = fwds["pre"](
+                    self.params,
+                    self._jnp.asarray(images.astype(np.float32)),
+                    self._jnp.asarray(cams),
+                )
+                np.asarray(out)
             if not all_buckets:
                 break
         return time.perf_counter() - t0

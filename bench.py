@@ -115,6 +115,12 @@ def main() -> None:
     )
     ap.add_argument("--pair-batch", action="store_true")
     ap.add_argument("--view-num", type=int, default=VIEW_NUM)
+    ap.add_argument("--skip-8view", action="store_true",
+                    help="measure only --view-num. By default the reference eval "
+                         "driver's flagship view_num=8 (eval_pointcloud.py:38-41) is "
+                         "ALSO measured and reported in the same JSON line so "
+                         "BENCH_r*.json regression-tracks both configs (VERDICT r4 "
+                         "item 5)")
     ap.add_argument("--batch", type=int, default=1,
                     help="distinct ref images per forward (cross-image data batching). "
                          "B=1 is the measured sweet spot on v5e SINCE the warp "
@@ -147,12 +153,22 @@ def main() -> None:
 
     setup_jax()
     dev = jax.devices()[0]
-    dm_per_s = measure(
-        dev, args.dtype, args.iters, xla_options=xla_options,
-        pair_batch=args.pair_batch, view_num=args.view_num, batch=args.batch,
-        act_quant=args.act_quant, warp_quant=args.warp_quant,
-        fp32_precision=args.fp32_precision, scoped_vmem_kib=scoped_vmem_kib,
-    )
+
+    def run(view_num: int) -> float:
+        return measure(
+            dev, args.dtype, args.iters, xla_options=xla_options,
+            pair_batch=args.pair_batch, view_num=view_num, batch=args.batch,
+            act_quant=args.act_quant, warp_quant=args.warp_quant,
+            fp32_precision=args.fp32_precision, scoped_vmem_kib=scoped_vmem_kib,
+        )
+
+    dm_per_s = run(args.view_num)
+    dm8_per_s = None
+    if not args.skip_8view and args.view_num != 8:
+        try:
+            dm8_per_s = run(8)
+        except Exception as e:  # never let the secondary line sink the artifact
+            print(f"# 8-view measurement failed: {e}", flush=True)
 
     baseline = None
     if os.path.exists(CACHE):
@@ -173,20 +189,21 @@ def main() -> None:
     if baseline is None:
         baseline = CPU_ANCHOR_DM_PER_S
 
-    print(
-        json.dumps(
-            {
-                "metric": f"eth3d_{args.view_num}view_depth_maps_per_sec_per_chip",
-                "value": round(dm_per_s, 4),
-                "unit": f"depth maps/s ({args.view_num}-view, 480x896, D=128, "
-                        f"{args.dtype}, batch={args.batch})",
-                "vs_baseline": round(dm_per_s / baseline, 2),
-                "dtype": args.dtype,
-                "act_quant": args.act_quant,
-                "warp_quant": args.warp_quant,
-            }
-        )
-    )
+    record = {
+        "metric": f"eth3d_{args.view_num}view_depth_maps_per_sec_per_chip",
+        "value": round(dm_per_s, 4),
+        "unit": f"depth maps/s ({args.view_num}-view, 480x896, D=128, "
+                f"{args.dtype}, batch={args.batch})",
+        "vs_baseline": round(dm_per_s / baseline, 2),
+        "dtype": args.dtype,
+        "act_quant": args.act_quant,
+        "warp_quant": args.warp_quant,
+    }
+    if dm8_per_s is not None:
+        # the reference eval driver's flagship config (view_num=8) in the SAME
+        # artifact so it regression-tracks alongside the 5-view demo config
+        record["eth3d_8view_depth_maps_per_sec_per_chip"] = round(dm8_per_s, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -39,5 +39,10 @@ def pytest_collection_modifyitems(config, items):
         return
     for item in items:
         nid = item.nodeid
-        if any(nid == s or nid.startswith(s) for s in slow):
+        # boundary-anchored prefix match: "test_foo" must not mark
+        # "test_foo_extended", only "test_foo[...]" / "mod::test_foo"
+        if any(
+            nid == s or nid.startswith(s + "::") or nid.startswith(s + "[")
+            for s in slow
+        ):
             item.add_marker(pytest.mark.slow)

@@ -69,24 +69,74 @@ def main() -> None:
                          "the real driver path (decoded jpgs, 1/4 the H2D bytes); "
                          "the round-4 committed table used float32 — pass it for "
                          "apples-to-apples against FUSION_BENCH_r04.json")
+    ap.add_argument("--compact", default="auto", choices=["auto", "always", "never"],
+                    help="occupancy compaction mode (fuse_depth_maps compact=)")
+    ap.add_argument("--occupancy-sweep", type=float, nargs="*", default=None,
+                    metavar="DROP",
+                    help="run the VERDICT-r5 occupancy sweep instead of the V "
+                         "sweep: at V=--views[0], for each DROP fraction measure "
+                         "the dense (compact=never) and compacted (compact=auto) "
+                         "paths and assert identical point clouds. E.g. "
+                         "--occupancy-sweep 0.2 0.5 0.8")
     args = ap.parse_args()
 
     from atvsnet_tpu.fusion.consistency import fuse_depth_maps
+
+    if args.occupancy_sweep is not None:
+        V = args.views[0]
+        rows = []
+        for drop in args.occupancy_sweep:
+            depths, images, cams = make_consistent_scene(
+                V, args.height, args.width, drop=drop)
+            images = images.astype(args.image_dtype)
+            valid_frac = float((depths > 0).mean())
+
+            def timed(mode):
+                pts, cols = fuse_depth_maps(
+                    depths, images, cams, ref_chunk=args.ref_chunk, compact=mode)
+                t0 = time.perf_counter()
+                for _ in range(args.repeats):
+                    pts, cols = fuse_depth_maps(
+                        depths, images, cams, ref_chunk=args.ref_chunk, compact=mode)
+                return (time.perf_counter() - t0) / args.repeats, pts, cols
+
+            t_dense, p_dense, c_dense = timed("never")
+            t_sparse, p_sparse, c_sparse = timed("auto")
+            assert p_dense.shape == p_sparse.shape, (p_dense.shape, p_sparse.shape)
+            np.testing.assert_allclose(p_sparse, p_dense, atol=1e-4)
+            np.testing.assert_array_equal(c_sparse, c_dense)
+            row = {
+                "views": V, "drop": drop, "valid_frac": round(valid_frac, 4),
+                "dense_s": round(t_dense, 3), "compact_s": round(t_sparse, 3),
+                "speedup": round(t_dense / t_sparse, 2),
+                "points": int(p_dense.shape[0]),
+                "identical_clouds": True,
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+        print(json.dumps({
+            "workload": f"occupancy sweep V={V} {args.height}x{args.width}",
+            "results": rows,
+        }))
+        return
 
     results = []
     for V in args.views:
         depths, images, cams = make_consistent_scene(V, args.height, args.width, drop=args.drop)
         images = images.astype(args.image_dtype)
         # warm-up: compiles the chunk program (one compile — shapes are constant)
-        pts, _ = fuse_depth_maps(depths, images, cams, ref_chunk=args.ref_chunk)
+        pts, _ = fuse_depth_maps(depths, images, cams, ref_chunk=args.ref_chunk,
+                                 compact=args.compact)
         t0 = time.perf_counter()
         for _ in range(args.repeats):
-            pts, cols = fuse_depth_maps(depths, images, cams, ref_chunk=args.ref_chunk)
+            pts, cols = fuse_depth_maps(depths, images, cams, ref_chunk=args.ref_chunk,
+                                        compact=args.compact)
         dt = (time.perf_counter() - t0) / args.repeats
         mpix_checks = V * (V - 1) * args.height * args.width / 1e6
         row = {
             "views": V,
             "ref_chunk": args.ref_chunk,
+            "compact": args.compact,
             "scene_fusion_s": round(dt, 3),
             "s_per_ref": round(dt / V, 4),
             "points": int(pts.shape[0]),
