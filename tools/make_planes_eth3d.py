@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def make_scene(scene_dir: str, n_images: int, H: int, W: int, seed: int,
-               depth_min: float = 1.0, depth_max: float = 2.0, num_d: int = 128):
+               depth_min: float = 1.0, depth_max: float = 2.0, num_d: int = 128,
+               num_spheres: int = 0):
     import cv2
 
     from atvsnet_tpu.data.cams import write_cam
@@ -38,7 +39,7 @@ def make_scene(scene_dir: str, n_images: int, H: int, W: int, seed: int,
 
     r = render_multiplane_views(
         n_images, H, W, seed=seed, depth_min=depth_min, depth_max=depth_max,
-        spacing=0.05, rot_step=0.02,
+        spacing=0.05, rot_step=0.02, num_spheres=num_spheres,
     )
     os.makedirs(os.path.join(scene_dir, "images"), exist_ok=True)
     os.makedirs(os.path.join(scene_dir, "cams"), exist_ok=True)
@@ -71,9 +72,13 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num_spheres", type=int, default=0,
+                    help="textured spheres in the scene (curved surfaces + "
+                         "occlusion boundaries; VERDICT r4 item 2)")
     args = ap.parse_args()
     scene = os.path.join(args.out, "eth3d", args.name)
-    make_scene(scene, args.refs, args.height, args.width, args.seed)
+    make_scene(scene, args.refs, args.height, args.width, args.seed,
+               num_spheres=args.num_spheres)
     print("wrote", scene)
 
 

@@ -61,6 +61,9 @@ def main() -> None:
     ap.add_argument("--max_h", type=int, default=128)
     ap.add_argument("--max_w", type=int, default=160)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--num_spheres", type=int, default=0,
+                    help="spheres per held-out scene (curved + occluding geometry; "
+                         "match the training diet)")
     ap.add_argument("--json_out", default=None)
     args = ap.parse_args()
 
@@ -85,6 +88,7 @@ def main() -> None:
         render_multiplane_scene(
             view_num=args.view_num, H=args.max_h, W=args.max_w, D=args.max_d,
             seed=args.holdout_seed_base + i, inverse_depth=cfg.inverse_depth,
+            num_spheres=args.num_spheres,
         )
         for i in range(args.scenes)
     ]
@@ -114,7 +118,8 @@ def main() -> None:
         print(f"{n:<22} {r:>12.5f} {t:>12.5f}")
     summary = {
         "scenes": args.scenes,
-        "config": f"{args.view_num}v {args.max_h}x{args.max_w} D{args.max_d} {args.dtype}",
+        "config": f"{args.view_num}v {args.max_h}x{args.max_w} D{args.max_d} "
+                  f"{args.dtype} spheres={args.num_spheres}",
         "trained": {n: float(v) for n, v in zip(names, e_trained)},
         "random_init": {n: float(v) for n, v in zip(names, e_random)},
         "confidence_trained": {n: float(v) for n, v in zip(conf_names, c_trained)},
