@@ -248,3 +248,21 @@ def test_preprocessed_view_padding():
     images, cams = synthetic_scene(view_num=3, H=32, W=32, D=8, seed=11)
     out = est.predict(list(images[0][:2]), list(cams[0][:2]), preprocessed=True)
     assert np.isfinite(out["depth"]).all() and out["depth"].shape == (8, 8)
+
+
+def test_warmup_include_pre_compiles_both_wrappers():
+    """warmup(include_pre=True) executes BOTH the raw and the preprocessed
+    wrapper so a preprocessed=True deployment pays no first-request compile
+    (ADVICE r4); both wrappers stay functional afterwards."""
+    cfg = PipelineConfig(view_num=2, max_d=8, max_h=32, max_w=32)
+    est = DepthEstimator(cfg)
+    t = est.warmup(include_pre=True)
+    assert t > 0
+    images, cams = _scene_arrays(2, 32, 32, cfg.max_d)
+    out_raw = est.predict(images, cams)
+    assert np.isfinite(out_raw["depth"]).all()
+    # the pre wrapper expects NORMALIZED frames (what prepare_mvs_sample emits);
+    # synthetic_scene's [0,1) floats stand in for them
+    simg, scams = synthetic_scene(view_num=2, H=32, W=32, D=cfg.max_d, seed=7)
+    out_pre = est.predict(list(simg[0]), list(scams[0]), preprocessed=True)
+    assert np.isfinite(out_pre["depth"]).all()
