@@ -78,9 +78,58 @@ def main() -> None:
                          "the dense (compact=never) and compacted (compact=auto) "
                          "paths and assert identical point clouds. E.g. "
                          "--occupancy-sweep 0.2 0.5 0.8")
+    ap.add_argument("--dense-folder", default=None,
+                    help="measure a REAL eval output tree (the eval_pointcloud "
+                         "driver's --savepath scene dir) instead of the synthetic "
+                         "scene: runs the probability filter at --prob-threshold, "
+                         "then times dense vs compacted fusion on the actual "
+                         "depth/confidence statistics (VERDICT r4 item 7)")
+    ap.add_argument("--prob-threshold", type=float, default=0.8,
+                    help="with --dense-folder: probability-filter tau "
+                         "(reference reproduce_pc.sh default 0.8)")
+    ap.add_argument("--depth-subdir", default="depths_atvsnet",
+                    help="with --dense-folder: subdir holding the per-ref outputs")
     args = ap.parse_args()
 
     from atvsnet_tpu.fusion.consistency import fuse_depth_maps
+
+    if args.dense_folder is not None:
+        from atvsnet_tpu.fusion.fuse import load_scene, probability_filter
+
+        depth_folder = os.path.join(args.dense_folder, args.depth_subdir)
+        probability_filter(depth_folder, args.prob_threshold)
+        depths, images, cams, names = load_scene(depth_folder, filtered=True)
+        if args.image_dtype == "uint8":
+            images = images.astype(np.uint8)  # cv2 already uint8; explicit for clarity
+        else:
+            images = images.astype(np.float32)
+        valid_frac = float((depths > 0).mean())
+        V, H, W = depths.shape
+
+        def timed(mode):
+            pts, cols = fuse_depth_maps(
+                depths, images, cams, ref_chunk=args.ref_chunk, compact=mode)
+            t0 = time.perf_counter()
+            for _ in range(args.repeats):
+                pts, cols = fuse_depth_maps(
+                    depths, images, cams, ref_chunk=args.ref_chunk, compact=mode)
+            return (time.perf_counter() - t0) / args.repeats, pts, cols
+
+        t_dense, p_dense, c_dense = timed("never")
+        t_sparse, p_sparse, c_sparse = timed("auto")
+        np.testing.assert_allclose(p_sparse, p_dense, atol=1e-4)
+        np.testing.assert_array_equal(c_sparse, c_dense)
+        print(json.dumps({
+            "workload": f"real eval tree {args.dense_folder} "
+                        f"({V} views {H}x{W}, tau={args.prob_threshold})",
+            "views": V, "height": H, "width": W,
+            "valid_frac": round(valid_frac, 4),
+            "dense_s": round(t_dense, 3), "compact_s": round(t_sparse, 3),
+            "speedup": round(t_dense / t_sparse, 2),
+            "points": int(p_dense.shape[0]),
+            "identical_clouds": True,
+        }))
+        return
 
     if args.occupancy_sweep is not None:
         V = args.views[0]
