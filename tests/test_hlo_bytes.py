@@ -81,3 +81,44 @@ def test_pipeline_account_runs():
     # at least the parameters must be read once (few MB), and totals are finite
     assert r["total_bytes"] > 1e6
     assert np.isfinite(r["total_bytes"])
+
+
+def test_wide_tuple_while_with_index_comments_is_charged():
+    """TPU HLO writes /*index=N*/ markers inside >=6-element tuple shapes; the
+    '=' in them broke the instruction regex and silently dropped the pair-scan
+    while loops from the account (flagship program: 39.9 GB parsed vs 224.4 GB
+    with the loops). The while (and its body, x trip count) must be charged."""
+    hlo = """
+HloModule m
+
+%body (p: (s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256])) -> (s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256]) {
+  %p = (s32[]{:T(128)}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, /*index=5*/f32[256,256]{1,0}, f32[256,256]{1,0}) parameter(0)
+  %iv = s32[]{:T(128)} get-tuple-element((s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256]) %p), index=0
+  %one = s32[]{:T(128)} constant(1)
+  %iv1 = s32[]{:T(128)} add(s32[]{:T(128)} %iv, s32[]{:T(128)} %one)
+  %a = f32[256,256]{1,0} get-tuple-element((s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256]) %p), index=1
+  %b = f32[256,256]{1,0} get-tuple-element((s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256]) %p), index=2
+  %mm = f32[256,256]{1,0} dot(f32[256,256]{1,0} %a, f32[256,256]{1,0} %b), lhs_contracting_dims={1}, rhs_contracting_dims={0}
+  ROOT %t = (s32[]{:T(128)}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, /*index=5*/f32[256,256]{1,0}, f32[256,256]{1,0}) tuple(%iv1, %mm, %b, %b, %b, /*index=5*/%b, %b)
+}
+
+%cond (p: (s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256])) -> pred[] {
+  %p = (s32[]{:T(128)}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, /*index=5*/f32[256,256]{1,0}, f32[256,256]{1,0}) parameter(0)
+  %iv = s32[]{:T(128)} get-tuple-element((s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256]) %p), index=0
+  %k = s32[]{:T(128)} constant(4)
+  ROOT %lt = pred[]{:T(128)} compare(s32[]{:T(128)} %iv, s32[]{:T(128)} %k), direction=LT
+}
+
+ENTRY %main (x: f32[256,256]) -> f32[256,256] {
+  %x = f32[256,256]{1,0} parameter(0)
+  %z = s32[]{:T(128)} constant(0)
+  %init = (s32[]{:T(128)}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, /*index=5*/f32[256,256]{1,0}, f32[256,256]{1,0}) tuple(%z, %x, %x, %x, %x, /*index=5*/%x, %x)
+  %w = (s32[]{:T(128)}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, f32[256,256]{1,0}, /*index=5*/f32[256,256]{1,0}, f32[256,256]{1,0}) while((s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256]) %init), condition=%cond, body=%body
+  ROOT %out = f32[256,256]{1,0} get-tuple-element((s32[], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256], f32[256,256]) %w), index=3
+}
+"""
+    r = account(hlo)
+    assert r["while_trip_counts"] == {"body": 4, "cond": 4} or 4 in r["while_trip_counts"].values(), r
+    # 4 iterations x one 256x256 matmul (3 buffers) is the dominant traffic
+    per_iter = 3 * 256 * 256 * 4
+    assert r["total_bytes"] >= 4 * per_iter, r

@@ -86,6 +86,11 @@ def parse_computations(hlo: str):
     int_consts: dict[str, list] = {}     # comp -> integer constant values
     cur = None
     for line in hlo.splitlines():
+        # strip /*...*/ comments FIRST: long tuple shapes carry /*index=N*/
+        # markers whose '=' breaks the [^=] shape group in _INSTR_RE, which
+        # silently dropped every instruction with a >=6-element tuple shape —
+        # including the pair-scan while loops themselves
+        line = re.sub(r"/\*.*?\*/", "", line)
         stripped = line.strip()
         # computation headers: "%name (args...) -> result {" — args may contain
         # nested parens (tuple-typed parameters), so don't try to balance them
@@ -266,6 +271,15 @@ def main() -> None:
             multi_view_forward(p, i, c, cfg)["depth_up"].astype(jnp.float32)))
         hlo = fwd.lower(params, jnp.asarray(images), jnp.asarray(cams)).compile().as_text()
 
+    # NOTE: keep everything above the `hlo =` lowering line byte-identical when
+    # editing this file — the persistent compile cache keys on source locations
+    # of the traced lambda (see .claude/skills/verify), and a cache miss at the
+    # flagship bucket costs minutes.
+    dump = os.environ.get("ATVSNET_DUMP_HLO")
+    if dump:
+        with open(dump, "w") as f:
+            f.write(hlo)
+
     r = account(hlo)
     out = {
         "metric": "hbm_bytes_per_forward_fusion_aware",
@@ -273,6 +287,10 @@ def main() -> None:
         "read_GB": round(r["read_bytes"] / 1e9, 2),
         "write_GB": round(r["write_bytes"] / 1e9, 2),
         "while_trip_counts": r["while_trip_counts"],
+        # raw count of while instructions in the HLO text: must equal
+        # len(while_trip_counts) or the parser missed a loop (the lax.scan over
+        # pairs may also be fully unrolled by XLA, leaving zero whiles)
+        "n_while_instrs": hlo.count(" while("),
         "n_computations": r["n_computations"],
         "n_fusion_bodies": r["n_fusion_bodies"],
         "bandwidth_floor_s": round(r["total_bytes"] / PEAK_HBM_BPS, 4),
