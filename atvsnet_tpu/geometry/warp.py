@@ -10,8 +10,7 @@ treated as invalid.
 TPU-native design: instead of the reference's 128-iteration python loop of single-plane
 warps (reference atvsnet/model.py:179-195 — graph bloat), `plane_sweep_warp` transforms
 the pixel grid by ALL D homographies in one einsum and performs ONE batched gather for
-the whole (B, D, H, W, C) volume. XLA lowers the 4-corner gathers + lerp onto the VPU;
-a fused Pallas variant lives in ops/ for the cases XLA schedules poorly.
+the whole (B, D, H, W, C) volume. XLA lowers the 4-corner gathers + lerp onto the VPU.
 """
 
 from __future__ import annotations
@@ -223,19 +222,36 @@ def plane_sweep_warp(
     B, H, W, C = image.shape
     D = homographies.shape[1]
     x, y = _homography_coords(homographies, H, W)         # (B, D, HW)
+    if method == "bilinear":
+        # Gather with indices ordered (h, w, d) — D minor — instead of (d, h, w):
+        # the corner-lerp (+ optional int8 quant) then runs entirely in the
+        # gather's natural row order and ONE explicit logical transpose restores
+        # (B, D, H, W, C) for the conv consumers. Bit-exact (same per-element
+        # arithmetic, different iteration order); the point is to decouple the
+        # wide pre-lerp packed table's layout from the conv3d consumers' layout
+        # so XLA's layout assignment can place the physical relayout on the
+        # post-lerp (4x smaller; 16x under warp_quant=int8) buffer instead of
+        # the 880 MB x4-trip pre-lerp copies ROOFLINE_r05.json's audit found in
+        # the stage scan bodies.
+        xs = jnp.swapaxes(x, 1, 2).reshape(B, H * W * D)
+        ys = jnp.swapaxes(y, 1, 2).reshape(B, H * W * D)
+        if output_mask:
+            out, mask = interpolate(
+                image, xs, ys, method=method, output_mask=True, out_spatial=(H, W, D)
+            )
+            out = _maybe_quant_warp(out, image)           # (B, H, W, D, C)
+            return (
+                jnp.moveaxis(out, 3, 1),
+                jnp.moveaxis(mask, 3, 1)[..., None],
+            )
+        out = interpolate(image, xs, ys, method=method, out_spatial=(H, W, D))
+        return jnp.moveaxis(_maybe_quant_warp(out, image), 3, 1)
     x = x.reshape(B, D * H * W)
     y = y.reshape(B, D * H * W)
-    spatial = (D, H, W) if method == "bilinear" else None
     if output_mask:
-        out, mask = interpolate(
-            image, x, y, method=method, output_mask=True, out_spatial=spatial
-        )
-        out = out.reshape(B, D, H, W, C)
-        if method == "bilinear":
-            out = _maybe_quant_warp(out, image)
-        return out, mask.reshape(B, D, H, W, 1)
-    out = interpolate(image, x, y, method=method, out_spatial=spatial).reshape(B, D, H, W, C)
-    return _maybe_quant_warp(out, image) if method == "bilinear" else out
+        out, mask = interpolate(image, x, y, method=method, output_mask=True)
+        return out.reshape(B, D, H, W, C), mask.reshape(B, D, H, W, 1)
+    return interpolate(image, x, y, method=method).reshape(B, D, H, W, C)
 
 
 def plane_sweep_warp_with_nearest(
@@ -256,17 +272,20 @@ def plane_sweep_warp_with_nearest(
     KEEP IN SYNC with interpolate(): the validity window, invalid-sample corner
     zeroing, clip bounds and corner-weight formulas below deliberately restate
     interpolate's packed bilinear body — the two bodies differ only in where the
-    5D reshape lands (here the weights apply on the final volume layout so the
-    gather->conv layout change fuses into this write; a shared helper would pin
-    one layout and reintroduce the standalone full-volume copies this fusion
-    removed, tools/hlo_copy_audit.py). Any sampling-semantics fix must be applied
-    in BOTH places; tests/test_structured.py pins them against each other.
+    5D reshape lands (here the weights apply on the (h, w, d)-ordered volume so
+    the whole elementwise chain keeps the gather's row order and the final
+    moveaxis is the single logical layout change; a shared helper would pin one
+    layout and reintroduce the standalone full-volume copies, see
+    tools/hlo_copy_audit.py). Any sampling-semantics fix must be applied in
+    BOTH places; tests/test_structured.py pins them against each other.
     """
     B, H, W, C = image.shape
     D = homographies.shape[1]
     x, y = _homography_coords(homographies, H, W)
-    x = x.reshape(B, D * H * W).astype(jnp.float32) - 0.5
-    y = y.reshape(B, D * H * W).astype(jnp.float32) - 0.5
+    # (h, w, d)-ordered indices + one explicit logical transpose at the end, for
+    # the same layout-decoupling reason as plane_sweep_warp's bilinear branch.
+    x = jnp.swapaxes(x, 1, 2).reshape(B, H * W * D).astype(jnp.float32) - 0.5
+    y = jnp.swapaxes(y, 1, 2).reshape(B, H * W * D).astype(jnp.float32) - 0.5
 
     finite = jnp.isfinite(x) & jnp.isfinite(y)
     valid = finite & (x >= 0) & (y >= 0) & (x < W - 1) & (y < H - 1)
@@ -282,10 +301,10 @@ def plane_sweep_warp_with_nearest(
 
     table = _pack_corners(image).reshape(B, H * W, 4 * C)
     g = _gather_pixels(table, y0, x0, W)
-    # corner-weight on the final 5D shape so the layout change from the gather's
-    # channel-minor result to the conv consumers' layout fuses into this write
-    # instead of materializing as standalone full-volume copies (see interpolate)
-    shape = (B, D, H, W)
+    # corner-weight on the 5D (h, w, d)-ordered shape so the whole elementwise
+    # chain keeps the gather's natural row order; the final moveaxis is the only
+    # logical layout change (see interpolate / plane_sweep_warp)
+    shape = (B, H, W, D)
     g = g.reshape(shape + (4 * C,))
     ga, gb, gc, gd = g[..., :C], g[..., C : 2 * C], g[..., 2 * C : 3 * C], g[..., 3 * C :]
 
@@ -311,7 +330,11 @@ def plane_sweep_warp_with_nearest(
         ga, gb, gc, gd = (t[..., nearest_slice] for t in (ga, gb, gc, gd))
     nearest = jnp.where(down, jnp.where(right, gd, gc), jnp.where(right, gb, ga))
 
-    return bilinear, nearest, valid.reshape(shape + (1,))
+    return (
+        jnp.moveaxis(bilinear, 3, 1),
+        jnp.moveaxis(nearest, 3, 1),
+        jnp.moveaxis(valid.reshape(shape), 3, 1)[..., None],
+    )
 
 
 def _relative_projection(left_cam: jnp.ndarray, right_cam: jnp.ndarray):

@@ -52,3 +52,23 @@ def test_scene_e2e_eval_matches_calc_error(tmp_path):
 
     # roundtrip sanity on the fixtures themselves
     assert load_pfm(str(scene / "gt_depths" / "00000000.pfm")).shape == (h * scale, w * scale)
+
+
+def test_bench_compile_parse_compiler_options():
+    """tools/bench_compile --compiler-option parsing: JSON-typed values where
+    possible (the XLA effort knobs are floats), raw strings otherwise."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from bench_compile import parse_compiler_options
+
+    assert parse_compiler_options(None) == {}
+    assert parse_compiler_options([]) == {}
+    got = parse_compiler_options(
+        ["exec_time_optimization_effort=-1.0", "memory_fitting_effort=0.5",
+         "some_flag=true", "name=tag"]
+    )
+    assert got == {
+        "exec_time_optimization_effort": -1.0,
+        "memory_fitting_effort": 0.5,
+        "some_flag": True,
+        "name": "tag",
+    }
